@@ -1,0 +1,221 @@
+"""Codec framework: buffer framing, general compression, registry, helpers.
+
+Framing follows the reference byte-for-byte in spirit: every encoded buffer
+is ``int64 little-endian header + payload`` where header = uncompressed
+length, or −1 meaning the payload is stored raw because compression did not
+help (/root/reference/src/compression.cpp:161-174 lz4 header, :218-254
+incompressible fallback, :256-271 decode passthrough).  Bodies concatenate
+buffers at 8-byte-aligned offsets (/root/reference/src/serialize_utils.cpp:
+12-40 ``fill_body``; utils.hpp:14-17 ``align_to_8``).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+_HEADER = struct.Struct("<q")
+RAW_HEADER = _HEADER.pack(-1)
+
+# general-purpose per-buffer codecs (stage 2); zstd level 1 matches the
+# reference's ZSTD_compress(..., 1) at src/compression.cpp:197
+_PA_CODECS = {
+    "zstd": pa.Codec("zstd", compression_level=1),
+    "lz4": pa.Codec("lz4"),
+}
+GENERAL_CODECS = ("zstd", "lz4")
+MIN_COMPRESS_LEN = 64  # don't bother compressing tiny buffers
+
+
+def align8(n: int) -> int:
+    return (n + 7) & ~7
+
+
+def pad8(b: bytes) -> bytes:
+    r = len(b) & 7
+    return b if r == 0 else b + b"\x00" * (8 - r)
+
+
+def compress_buffer(data: bytes, candidates=GENERAL_CODECS) -> tuple[str, bytes]:
+    """Return (codec_name, framed_bytes); never inflates beyond 8B header."""
+    best_name, best = "none", RAW_HEADER + data
+    if len(data) >= MIN_COMPRESS_LEN:
+        for name in candidates:
+            comp = _PA_CODECS[name].compress(data, asbytes=True)
+            if len(comp) + 8 < len(best):
+                best_name, best = name, _HEADER.pack(len(data)) + comp
+    return best_name, best
+
+
+def decompress_buffer(framed: bytes, codec: str) -> bytes:
+    """Inverse of compress_buffer; validates exact decompressed size."""
+    (n,) = _HEADER.unpack_from(framed, 0)
+    payload = framed[8:]
+    if n == -1:
+        return bytes(payload)
+    out = _PA_CODECS[codec].decompress(payload, n, asbytes=True)
+    if len(out) != n:
+        raise ValueError(f"decompressed size {len(out)} != header {n}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Bit-packing primitives (vectorized)
+# ---------------------------------------------------------------------------
+
+def bit_width(u: np.ndarray) -> int:
+    """Minimum bits to represent max of uint64 array (0 for empty/all-zero)."""
+    if len(u) == 0:
+        return 0
+    m = int(u.max())
+    return m.bit_length()
+
+
+def bitpack(u: np.ndarray, width: int) -> bytes:
+    """Pack uint64 values into width-bit little-endian packed bytes."""
+    if width == 0 or len(u) == 0:
+        return b""
+    if width > 64:
+        raise ValueError(f"width {width} > 64")
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((u[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def bitunpack(data: bytes, n: int, width: int) -> np.ndarray:
+    """Inverse of bitpack → uint64 array of length n."""
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(
+        np.frombuffer(data, dtype=np.uint8), count=n * width, bitorder="little"
+    ).reshape(n, width).astype(np.uint64)
+    shifts = np.arange(width, dtype=np.uint64)
+    return (bits << shifts).sum(axis=1, dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# Arrow helpers
+# ---------------------------------------------------------------------------
+
+def canonical_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Zero-offset contiguous array (buffer math assumes offset 0)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.offset != 0:
+        arr = pa.concat_arrays([arr.slice(arr.offset - arr.offset)])  # no-op guard
+        arr = pa.Array.from_pandas(arr.to_pandas(), type=arr.type)
+    return arr
+
+
+def validity_bytes(arr: pa.Array) -> bytes | None:
+    """LSB validity bitmap bytes, or None when no nulls (buffer 0 in the
+    reference layout, deserialize_array_impl.hpp:61)."""
+    if arr.null_count == 0:
+        return None
+    mask = np.logical_not(arr.is_null().to_numpy(zero_copy_only=False))
+    return np.packbits(mask, bitorder="little").tobytes()
+
+
+def validity_from_bytes(b: bytes | None, n: int) -> np.ndarray | None:
+    """Boolean valid-mask of length n, or None."""
+    if b is None:
+        return None
+    return np.unpackbits(np.frombuffer(b, dtype=np.uint8), count=n, bitorder="little").astype(bool)
+
+
+def logical_type_of(arr: pa.Array) -> str:
+    return str(arr.type)
+
+
+def int_values_view(arr: pa.Array) -> np.ndarray:
+    """Int64 view of an integer/timestamp array with null slots canonicalized
+    to 0 (logical values preserved; null-slot padding is not semantic — the
+    reference recomputes null counts from bitmaps, deserialize_utils.cpp:9-28)."""
+    t = arr.type
+    if pa.types.is_timestamp(t):
+        np_arr = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    else:
+        np_arr = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if arr.null_count:
+        np_arr = np.nan_to_num(np_arr, nan=0.0)
+        np_arr = np_arr.astype(np.int64)
+    else:
+        np_arr = np_arr.astype(np.int64)
+    return np_arr
+
+
+def rebuild_with_validity(values: pa.Array, valid: np.ndarray | None) -> pa.Array:
+    """Apply a boolean valid-mask onto a values array (nulls where False)."""
+    if valid is None:
+        return values
+    import pyarrow.compute as pc
+
+    return pc.if_else(pa.array(valid), values, pa.scalar(None, type=values.type))
+
+
+# ---------------------------------------------------------------------------
+# Column codec registry
+# ---------------------------------------------------------------------------
+
+@dataclass
+class EncodedColumn:
+    codec: str
+    meta: dict
+    buffers: list[tuple[str, bytes]] = field(default_factory=list)
+
+    @property
+    def payload_bytes(self) -> int:
+        return sum(len(b) for _, b in self.buffers)
+
+
+ENCODERS: dict[str, object] = {}
+DECODERS: dict[str, object] = {}
+
+
+def register(name: str, encoder, decoder) -> None:
+    ENCODERS[name] = encoder
+    DECODERS[name] = decoder
+
+
+def encode_column(codec: str, arr: pa.Array, ctx: dict | None = None) -> EncodedColumn | None:
+    """Encode with a specific codec; None if codec not applicable to arr."""
+    return ENCODERS[codec](arr, ctx or {})
+
+
+def decode_column(codec: str, meta: dict, buffers: dict[str, bytes], length: int,
+                  dtype: pa.DataType, ctx: dict | None = None) -> pa.Array:
+    return DECODERS[codec](meta, buffers, length, dtype, ctx or {})
+
+
+def dtype_from_logical(logical: str) -> pa.DataType:
+    mapping = {
+        "string": pa.string(),
+        "large_string": pa.large_string(),
+        "binary": pa.binary(),
+        "int8": pa.int8(),
+        "int16": pa.int16(),
+        "int32": pa.int32(),
+        "int64": pa.int64(),
+        "float": pa.float32(),
+        "float32": pa.float32(),
+        "double": pa.float64(),
+        "float64": pa.float64(),
+        "bool": pa.bool_(),
+        "date32[day]": pa.date32(),
+    }
+    if logical in mapping:
+        return mapping[logical]
+    if logical.startswith("timestamp"):
+        # e.g. "timestamp[us]" / "timestamp[us, tz=UTC]"
+        inner = logical[len("timestamp["):-1]
+        parts = [p.strip() for p in inner.split(",")]
+        unit = parts[0]
+        tz = None
+        for p in parts[1:]:
+            if p.startswith("tz="):
+                tz = p[3:]
+        return pa.timestamp(unit, tz=tz)
+    raise ValueError(f"unsupported logical type {logical}")

@@ -1,0 +1,124 @@
+"""Dictionary codec: global (emit-once dictionary table) and block-local.
+
+Global mode is the Spark reimagination of the reference's dictionary
+machinery: a separate distinct-build stage assigns codes once, the
+dictionary is broadcast, and every block stores only int32 indices
+referencing ``dict_id`` — the analog of DictionaryBatch messages emitted
+exactly once before record batches (/root/reference/src/dictionary_tracker.cpp:
+233-307 extraction + emit-once; Message.fbs:129-131).  ``dict_id`` is a
+deterministic hash of the column name (the reference's fallback id is
+hash(field_name, index), /root/reference/src/dictionary_utils.cpp:15-23).
+
+Local mode stores the chunk's own distinct values inside the block
+(values offsets+data sub-buffers), for columns whose dictionary was not
+pre-built.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sparrow_ipc_spark.codecs import base
+
+
+def dict_id_for(col_name: str) -> int:
+    """Deterministic 63-bit dictionary id from the column name."""
+    h = hashlib.sha1(col_name.encode("utf-8")).digest()
+    return int.from_bytes(h[:8], "little") & 0x7FFFFFFFFFFFFFFF
+
+
+def _indices_bytes(arr: pa.Array, values: pa.Array) -> tuple[bytes, bytes | None, bool]:
+    """(int32 index bytes, validity bytes, ok) — vectorized C++ lookup."""
+    codes = pc.index_in(arr, value_set=values)
+    # a non-null value missing from the dictionary is a contract violation
+    if arr.null_count != codes.null_count:
+        return b"", None, False
+    vb = base.validity_bytes(codes)
+    filled = codes.fill_null(0).cast(pa.int32())
+    return np.ascontiguousarray(filled.to_numpy(zero_copy_only=False), dtype=np.int32).tobytes(), vb, True
+
+
+def encode_global(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
+    col = ctx.get("col_name")
+    gdicts = ctx.get("global_dicts") or {}
+    if col not in gdicts:
+        return None
+    entry = gdicts[col]  # {"dict_id": int, "values": pa.Array}
+    idx_bytes, vb, ok = _indices_bytes(arr, entry["values"])
+    if not ok:
+        return None
+    bufs: list[tuple[str, bytes]] = []
+    if vb is not None:
+        bufs.append(("validity", vb))
+    bufs.append(("indices", idx_bytes))
+    return base.EncodedColumn(
+        codec="dict", meta={"dict_id": entry["dict_id"], "n_dict": len(entry["values"])},
+        buffers=bufs,
+    )
+
+
+def encode_local(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
+    if len(arr) == 0:
+        return None
+    values = arr.drop_null().unique()
+    if len(values) == 0:
+        values = pa.array([], type=arr.type)
+    idx_bytes, vb, ok = _indices_bytes(arr, values)
+    if not ok:
+        return None
+    bufs: list[tuple[str, bytes]] = []
+    if vb is not None:
+        bufs.append(("validity", vb))
+    bufs.append(("indices", idx_bytes))
+    # dictionary values ride inside the block as offsets+data sub-buffers
+    voff = values.buffers()[1]
+    vdat = values.buffers()[2]
+    n = len(values)
+    if voff is None:
+        offsets = np.zeros(1, dtype=np.int32)
+        data = b""
+    else:
+        offsets = np.frombuffer(voff, dtype=np.int32, count=n + 1)
+        data = vdat.to_pybytes()[: int(offsets[-1])] if vdat is not None else b""
+    bufs.append(("dict_offsets", offsets.tobytes()))
+    bufs.append(("dict_data", data))
+    return base.EncodedColumn(codec="dict_local", meta={"n_dict": n}, buffers=bufs)
+
+
+def _take_with_validity(values: pa.Array, buffers: dict[str, bytes], length: int) -> pa.Array:
+    idx = np.frombuffer(buffers["indices"], dtype=np.int32, count=length)
+    valid = base.validity_from_bytes(buffers.get("validity"), length)
+    if valid is None:
+        indices = pa.array(idx, type=pa.int32())
+    else:
+        indices = pa.array(idx, type=pa.int32(), mask=~valid)
+    return values.take(indices)  # null index → null output
+
+
+def decode_global(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.DataType,
+                  ctx: dict) -> pa.Array:
+    values = ctx["dict_values"][int(meta["dict_id"])]
+    if values.type != dtype:
+        values = values.cast(dtype)
+    return _take_with_validity(values, buffers, length)
+
+
+def decode_local(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.DataType,
+                 ctx: dict) -> pa.Array:
+    n = int(meta["n_dict"])
+    offsets = np.frombuffer(buffers["dict_offsets"], dtype=np.int32)
+    data = buffers.get("dict_data", b"")
+    values = pa.Array.from_buffers(
+        pa.string(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)], 0
+    )
+    if values.type != dtype:
+        values = values.cast(dtype)
+    return _take_with_validity(values, buffers, length)
+
+
+base.register("dict", encode_global, decode_global)
+base.register("dict_local", encode_local, decode_local)

@@ -1,0 +1,206 @@
+"""Distributed encode job: transcripts DataFrame → dictionary + block tables.
+
+Spark lifecycle (the reimagination of the reference's streaming serializer,
+include/sparrow_ipc/serializer.hpp:36-263):
+
+1. salted hash partitioning on conv_id — hot conversations are split by
+   turn ranges (``salt = turn_idx // salt_span``) so one 10^6-turn
+   conversation spreads over many partitions while each block still holds
+   contiguous sorted turns (north_rule skew clause);
+2. ``sortWithinPartitions(conv_id, turn_idx)`` — the stable-order contract
+   ("same batch order in = same bytes out");
+3. dictionary-build stage: global distinct per low-cardinality column →
+   dictionary table + broadcast (emit-once, before any data block —
+   /root/reference/src/dictionary_tracker.cpp:284-298);
+4. ``mapInPandas`` encode — one block row per Arrow batch
+   (spark.sql.execution.arrow.maxRecordsPerBatch = batch granularity);
+5. manifest aggregation per part_id (the IPC file Footer analog,
+   /root/reference/src/stream_file_serializer.cpp:34-129) → resumable
+   re-runs skip completed partitions.
+
+No per-row Python anywhere: partitioning/sorting are JVM-side, encode is
+vectorized numpy/pyarrow over Arrow batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sparrow_ipc_spark.codecs.dictionary import dict_id_for
+from sparrow_ipc_spark.operators import blocks
+from sparrow_ipc_spark.schema import BLOCK_SCHEMA, DICTIONARY_SCHEMA, MANIFEST_SCHEMA
+
+DEFAULT_DICT_COLS = ("role", "tool")
+DEFAULT_SALT_SPAN = 100_000  # turns per salt bucket within one conversation
+
+TRANSCRIPT_FIELDS = [
+    ("conv_id", "string"),
+    ("turn_idx", "int32"),
+    ("role", "string"),
+    ("text", "string"),
+    ("tool", "string"),
+    ("ts", "timestamp[us]"),
+]
+
+
+def build_global_dicts(
+    df: DataFrame, cols=DEFAULT_DICT_COLS
+) -> tuple[list[dict], dict]:
+    """Distinct-build stage → (dictionary table rows, broadcastable payload).
+
+    Catalyst runs partial+final HashAggregate for distinct automatically —
+    the map-side combine keeps the shuffle tiny for low-cardinality columns.
+    Codes are assigned by sorted value order: deterministic across retries
+    and cluster sizes.
+    """
+    rows: list[dict] = []
+    payload: dict = {}
+    for col in cols:
+        vals = [
+            r[0]
+            for r in df.select(col).where(F.col(col).isNotNull()).distinct().orderBy(col).collect()
+        ]
+        arr = pa.array(vals, type=pa.string())
+        did = dict_id_for(col)
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(arr) + 1) if len(arr) else np.zeros(1, np.int32)
+        data = arr.buffers()[2].to_pybytes()[: int(offs[-1])] if len(arr) and arr.buffers()[2] else b""
+        rows.append(
+            {
+                "dict_id": did,
+                "col_name": col,
+                "is_delta": False,
+                "n_values": len(arr),
+                "values_offsets": offs.tobytes(),
+                "values_data": data,
+            }
+        )
+        payload[col] = {"dict_id": did, "values": vals}
+    return rows, payload
+
+
+def with_partition_key(df: DataFrame, salt_span: int = DEFAULT_SALT_SPAN) -> DataFrame:
+    """Salted partition key: hot conversations split by turn range."""
+    return df.withColumn("_salt", (F.col("turn_idx") / F.lit(salt_span)).cast("int"))
+
+
+def encode_transcripts(
+    spark: SparkSession,
+    df: DataFrame,
+    n_parts: int | None = None,
+    dict_cols=DEFAULT_DICT_COLS,
+    salt_span: int = DEFAULT_SALT_SPAN,
+    skip_part_ids: set[int] | None = None,
+) -> tuple[DataFrame, list[dict], dict]:
+    """Returns (blocks_df, dictionary_rows, dict_payload).
+
+    blocks_df is lazy; write it with ``.write.parquet`` (Iceberg in prod).
+    """
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    dict_rows, payload = build_global_dicts(df, dict_cols) if dict_cols else ([], {})
+    bc = spark.sparkContext.broadcast(payload)
+
+    keyed = with_partition_key(df, salt_span)
+    if skip_part_ids:
+        # replicate HashPartitioning's row→partition map (murmur3, pmod) to
+        # prune completed partitions at the scan — resumability without
+        # re-encoding (manifest analog: stream_file_serializer.cpp:77-129)
+        part_expr = F.pmod(F.hash("conv_id", "_salt"), F.lit(n_parts))
+        keyed = keyed.where(~part_expr.isin(*[int(p) for p in skip_part_ids]))
+    parted = (
+        keyed.repartition(n_parts, "conv_id", "_salt")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .drop("_salt")
+    )
+
+    fields = TRANSCRIPT_FIELDS
+
+    def encode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tc = TaskContext.get()
+        part_id = tc.partitionId() if tc is not None else 0
+        gdicts = {
+            c: {"dict_id": e["dict_id"], "values": pa.array(e["values"], type=pa.string())}
+            for c, e in bc.value.items()
+        }
+        ctx = {"global_dicts": gdicts}
+        seq = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            row = blocks.encode_batch(pdf, fields, ctx, part_id, seq)
+            seq += 1
+            yield pd.DataFrame([row])
+
+    blocks_df = parted.mapInPandas(encode_fn, schema=BLOCK_SCHEMA)
+    return blocks_df, dict_rows, payload
+
+
+def manifest_from_blocks(blocks_df: DataFrame) -> DataFrame:
+    """Per-partition lineage + metrics (Footer analog) for resume + audit."""
+    return blocks_df.groupBy("part_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        F.to_json(
+            F.map_from_entries(
+                F.array_distinct(F.flatten(F.collect_list(F.expr("transform(columns, c -> struct(c.name as key, c.codec as value))"))))
+            )
+        ).alias("codec_summary"),
+        F.lit("committed").alias("status"),
+    )
+
+
+def write_encoded(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    n_parts: int | None = None,
+    dict_cols=DEFAULT_DICT_COLS,
+    salt_span: int = DEFAULT_SALT_SPAN,
+    resume: bool = False,
+) -> dict:
+    """Full encode job with commit: blocks + dictionaries + manifest parquet.
+
+    With ``resume=True``, part_ids already committed in the manifest are
+    skipped (their rows pruned at the scan) and new blocks are appended.
+    """
+    skip: set[int] = set()
+    mode = "overwrite"
+    if resume:
+        try:
+            prev = spark.read.parquet(f"{out_dir}/manifest")
+            skip = {int(r["part_id"]) for r in prev.select("part_id").collect()}
+            mode = "append"
+        except Exception:
+            skip = set()
+    blocks_df, dict_rows, _ = encode_transcripts(
+        spark, df, n_parts=n_parts, dict_cols=dict_cols, salt_span=salt_span,
+        skip_part_ids=skip or None,
+    )
+    blocks_df.write.mode(mode).parquet(f"{out_dir}/blocks")
+    if not (resume and skip):
+        spark.createDataFrame(dict_rows, schema=DICTIONARY_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/dictionaries")
+    written = spark.read.parquet(f"{out_dir}/blocks")
+    manifest = manifest_from_blocks(written)
+    manifest.write.mode("overwrite").parquet(f"{out_dir}/manifest")
+    stats = written.agg(
+        F.count("*").alias("blocks"),
+        F.sum("n_rows").alias("rows"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+    ).collect()[0]
+    return {
+        "blocks": stats["blocks"],
+        "rows": stats["rows"],
+        "raw_bytes": stats["raw_bytes"],
+        "enc_bytes": stats["enc_bytes"],
+        "skipped_parts": len(skip),
+    }

@@ -1,0 +1,152 @@
+"""Table schemas: transcripts in, encoded blocks + dictionaries + manifest out.
+
+The encoded-block row is the Spark-native analog of one Arrow IPC
+``Message{header=RecordBatch}`` (reference: Message.fbs:86-108 —
+``RecordBatch{nodes, buffers, compression}``; framing
+src/encapsulated_message.cpp:10-115):
+
+* ``field_nodes``  ↔ FieldNode (length, null_count) per column, depth-first
+  (reference: src/flatbuffer_utils.cpp:746-769);
+* ``buffers``      ↔ Buffer (offset, length) descriptors with 8-byte-aligned
+  offsets (reference: include/sparrow_ipc/flatbuffer_utils.hpp:188-226),
+  extended with per-buffer codec tags — the reference only distinguishes
+  LZ4/ZSTD/none (src/compression.cpp:127-154); we generalize the enum to
+  the full lightweight-codec set while keeping per-buffer granularity
+  (BodyCompressionMethod::BUFFER, Message.fbs:58-80);
+* ``body``         ↔ the message body: depth-first concatenation of every
+  encoded buffer, each padded to 8 bytes (src/serialize_utils.cpp:12-40);
+* dictionary rows  ↔ DictionaryBatch messages emitted once, before data
+  batches (Message.fbs:129-131; src/dictionary_tracker.cpp:284-298).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+
+# ---------------------------------------------------------------------------
+# Input: transcripts (BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+TRANSCRIPTS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+TRANSCRIPT_COLUMNS = [f.name for f in TRANSCRIPTS_SCHEMA.fields]
+
+# ---------------------------------------------------------------------------
+# Output: encoded-block table (one row per Arrow batch per partition)
+# ---------------------------------------------------------------------------
+# columns[i].meta_json carries codec params (dict_id, FoR reference, bit
+# width, symbol-table size, ...) — the analog of the FlatBuffers type +
+# DictionaryEncoding schema nodes (src/flatbuffer_utils.cpp:501-693).
+BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType(), False),
+        T.StructField("batch_seq", T.IntegerType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField(
+            "field_nodes",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType(), False),
+                        T.StructField("length", T.LongType(), False),
+                        T.StructField("null_count", T.LongType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+        T.StructField(
+            "columns",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType(), False),
+                        T.StructField("logical_type", T.StringType(), False),
+                        T.StructField("codec", T.StringType(), False),
+                        T.StructField("meta_json", T.StringType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+        T.StructField(
+            "buffers",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("col_idx", T.IntegerType(), False),
+                        T.StructField("kind", T.StringType(), False),
+                        T.StructField("codec", T.StringType(), False),
+                        T.StructField("offset", T.LongType(), False),
+                        T.StructField("comp_len", T.LongType(), False),
+                        T.StructField("uncomp_len", T.LongType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+        T.StructField("dict_refs", T.ArrayType(T.LongType()), False),
+        T.StructField("body", T.BinaryType(), False),
+        T.StructField("raw_bytes", T.LongType(), False),
+        T.StructField("enc_bytes", T.LongType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Dictionary table (one row per dictionary batch; emit-once per dict_id)
+# ---------------------------------------------------------------------------
+DICTIONARY_SCHEMA = T.StructType(
+    [
+        T.StructField("dict_id", T.LongType(), False),
+        T.StructField("col_name", T.StringType(), False),
+        T.StructField("is_delta", T.BooleanType(), False),
+        T.StructField("n_values", T.LongType(), False),
+        # dictionary values as a length-prefixed utf-8 blob (offsets+data),
+        # the 1-column record batch of a DictionaryBatch message
+        T.StructField("values_offsets", T.BinaryType(), False),
+        T.StructField("values_data", T.BinaryType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Manifest / checkpoint table (the analog of the IPC file Footer,
+# src/stream_file_serializer.cpp:34-129): per-partition lineage + metrics,
+# enables resumable re-runs (skip part_ids already committed).
+# ---------------------------------------------------------------------------
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType(), False),
+        T.StructField("n_blocks", T.LongType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("raw_bytes", T.LongType(), False),
+        T.StructField("enc_bytes", T.LongType(), False),
+        T.StructField("codec_summary", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+# Logical (encode-side) type tags — the analog of the format-string switch
+# in src/flatbuffer_utils.cpp:86-447, restricted to the types the
+# transcripts schema + adversarial fixtures need.
+LOGICAL_TYPES = {
+    "string": "string",
+    "large_string": "large_string",
+    "binary": "binary",
+    "int8": "int8",
+    "int16": "int16",
+    "int32": "int32",
+    "int64": "int64",
+    "float32": "float32",
+    "float64": "float64",
+    "bool": "bool",
+    "timestamp[us]": "timestamp[us]",
+    "date32[day]": "date32[day]",
+}

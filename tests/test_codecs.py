@@ -1,0 +1,135 @@
+"""Unit round-trip tests per codec kernel, including the adversarial
+fixture families from FIXTURES.md F2 (mirroring the reference's golden
+corpus categories, /root/reference/tests/test_de_serialization_with_files.cpp:33-78).
+No Spark — pure numpy/pyarrow, fast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sparrow_ipc_spark.codecs import base
+
+RNG = np.random.default_rng(42)
+
+
+def roundtrip(codec: str, arr: pa.Array, ctx: dict | None = None) -> base.EncodedColumn:
+    ctx = ctx or {}
+    enc = base.encode_column(codec, arr, ctx)
+    assert enc is not None, f"{codec} returned None for {arr.type}"
+    bufs = dict(enc.buffers)
+    out = base.decode_column(codec, enc.meta, bufs, len(arr), arr.type, ctx)
+    assert out.type == arr.type
+    assert out.to_pylist() == arr.to_pylist(), f"{codec} value mismatch"
+    # bit-identical at the logical level: null positions + values equal
+    assert out.null_count == arr.null_count
+    return enc
+
+
+# --- fixture arrays (F2) -------------------------------------------------
+
+STRING_CASES = {
+    "plain": pa.array(["hello", "world", "hello", "abc", ""]),
+    "zerolength": pa.array([], type=pa.string()),
+    "all_null": pa.array([None] * 17, type=pa.string()),
+    "single_run": pa.array(["same"] * 100),
+    "all_distinct": pa.array([f"value_{i:06d}" for i in range(500)]),
+    "unicode_text": pa.array(["héllo wörld", "日本語テキスト", "🎉🎊 emoji", "مرحبا بالعالم", "עִברִית"] * 8),
+    "nulls_and_empty": pa.array(["a", None, "", None, "bb", "", None]),
+    "incompressible": pa.array([bytes(RNG.bytes(50)).hex() for _ in range(100)]),
+    "long_text": pa.array(["the quick brown fox jumps over the lazy dog " * 30] * 20),
+}
+
+INT_CASES = {
+    "sequential": pa.array(np.arange(1000, dtype=np.int32)),
+    "zerolength": pa.array([], type=pa.int32()),
+    "all_null": pa.array([None] * 9, type=pa.int32()),
+    "single_run": pa.array([7] * 256, type=pa.int32()),
+    "extreme_int32": pa.array([np.iinfo(np.int32).min, np.iinfo(np.int32).max, 0, -1], type=pa.int32()),
+    "extreme_int64": pa.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max, 0, -1, 1], type=pa.int64()),
+    "random64": pa.array(RNG.integers(-(2**62), 2**62, 300), type=pa.int64()),
+    "negative_deltas": pa.array([100, 50, 75, 25, 99, 0, -50], type=pa.int64()),
+    "with_nulls": pa.array([1, None, 3, 3, 3, None, 7], type=pa.int64()),
+}
+
+TS_CASES = {
+    "monotonic": pa.array(
+        (1735689600_000_000 + np.cumsum(RNG.integers(1_000_000, 300_000_000, 100))).astype(np.int64)
+    ).cast(pa.timestamp("us")),
+    "ts_edges": pa.array([0, -62135596800_000_000, 9214646400_000_000, 1, -1], type=pa.int64()).cast(
+        pa.timestamp("us")
+    ),
+    "ts_nulls": pa.array([1735689600_000_000, None, 1735689601_000_000], type=pa.int64()).cast(
+        pa.timestamp("us")
+    ),
+}
+
+
+@pytest.mark.parametrize("name", list(STRING_CASES))
+@pytest.mark.parametrize("codec", ["raw", "fsst", "dict_local", "rle"])
+def test_string_roundtrip(codec, name):
+    arr = STRING_CASES[name]
+    if codec == "dict_local" and len(arr) == 0:
+        pytest.skip("local dict needs rows")
+    if codec == "rle" and len(arr) == 0:
+        pytest.skip("rle needs rows")
+    roundtrip(codec, arr)
+
+
+@pytest.mark.parametrize("name", list(INT_CASES))
+@pytest.mark.parametrize("codec", ["raw", "for_bitpack", "rle"])
+def test_int_roundtrip(codec, name):
+    arr = INT_CASES[name]
+    if codec == "rle" and len(arr) == 0:
+        pytest.skip("rle needs rows")
+    roundtrip(codec, arr)
+
+
+@pytest.mark.parametrize("name", list(INT_CASES))
+def test_int_delta_roundtrip(name):
+    arr = INT_CASES[name]
+    roundtrip("for_bitpack", arr, {"delta": True})
+
+
+@pytest.mark.parametrize("name", list(TS_CASES))
+@pytest.mark.parametrize("codec", ["raw", "for_bitpack", "rle"])
+def test_ts_roundtrip(codec, name):
+    roundtrip(codec, TS_CASES[name])
+
+
+def test_global_dict_roundtrip():
+    values = pa.array(["assistant", "system", "tool", "user"])
+    ctx_enc = {"col_name": "role", "global_dicts": {"role": {"dict_id": 99, "values": values}}}
+    arr = pa.array(["user", "assistant", None, "tool", "user", "system"])
+    enc = base.encode_column("dict", arr, ctx_enc)
+    out = base.decode_column(
+        "dict", enc.meta, dict(enc.buffers), len(arr), pa.string(), {"dict_values": {99: values}}
+    )
+    assert out.to_pylist() == arr.to_pylist()
+
+
+def test_global_dict_missing_value_rejected():
+    values = pa.array(["a", "b"])
+    ctx = {"col_name": "role", "global_dicts": {"role": {"dict_id": 1, "values": values}}}
+    arr = pa.array(["a", "zzz"])  # zzz not in dictionary
+    assert base.encode_column("dict", arr, ctx) is None
+
+
+def test_bitpack_widths():
+    for width in [0, 1, 3, 7, 8, 13, 31, 33, 63, 64]:
+        hi = 2**width if width < 64 else 2**64
+        u = RNG.integers(0, hi, 200, dtype=np.uint64)
+        assert np.array_equal(base.bitunpack(base.bitpack(u, width), 200, width), u)
+
+
+def test_buffer_framing_never_inflates():
+    incompressible = RNG.bytes(10_000)
+    codec, framed = base.compress_buffer(incompressible)
+    assert len(framed) <= len(incompressible) + 8
+    assert base.decompress_buffer(framed, codec) == incompressible
+    compressible = b"abc" * 10_000
+    codec2, framed2 = base.compress_buffer(compressible)
+    assert codec2 != "none" and len(framed2) < len(compressible) // 4
+    assert base.decompress_buffer(framed2, codec2) == compressible
