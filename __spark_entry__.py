@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship encode→decode→verify round trip on
+transcripts deterministically derived from the sf0.001 ``events`` table.
+
+``queries()`` exposes the engine's SQL-expressible operator analogs
+(dictionary code assignment, RLE gaps-and-islands, delta encoding,
+frame-of-reference bit widths — FIXTURES.md F3) plus the training-data
+pipeline operators (exact dedup, minhash-LSH, token counting, quality
+scoring, language guess, fingerprinting) with DuckDB oracles, and the
+engine's own non-SQL operators (round trip, codec selection, cosine
+top-k) as rows-only checks.
 """
 
 from __future__ import annotations
@@ -12,27 +17,339 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+TABLES = ("events", "documents", "embeddings")
+
+
+def _views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# Transcripts derived deterministically from the driver's events table
+# (BASELINE input_hint shape: conv_id, turn_idx, role, text, tool, ts)
+# ---------------------------------------------------------------------------
+
+_DERIVE_TRANSCRIPTS = """
+SELECT format_string('conv_%06d', user_id)                            AS conv_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT)
+                                                                      AS turn_idx,
+       element_at(ARRAY('user','assistant','system','tool'),
+                  CAST(pmod(event_id, 4) AS INT) + 1)                 AS role,
+       concat(event_type, ' ', coalesce(props, ''))                   AS text,
+       CASE WHEN pmod(event_id, 3) = 0 THEN event_type END            AS tool,
+       ts
+FROM events
+"""
+
+
+def derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("events",))
+    return spark.sql(_DERIVE_TRANSCRIPTS)
+
+
+# ---------------------------------------------------------------------------
+# SQL-expressible queries: (spark_sql, duckdb_sql) pairs.  Texts are kept
+# identical except where dialects diverge (unix_micros/epoch_us,
+# instr/strpos, size/array_length, explode/unnest, regexp_replace 'g').
+# ---------------------------------------------------------------------------
+
+_MINHASH_SIG_SPARK = """
+SELECT doc_id, band, MIN(md5(concat(CAST(band AS STRING), '|', tok))) AS min_hash
+FROM (
+  SELECT t.doc_id, t.tok, b.band
+  FROM (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0) t
+  CROSS JOIN (SELECT explode(array(0, 1, 2, 3)) AS band) b
+) s
+GROUP BY doc_id, band
+"""
+
+_MINHASH_SIG_DUCK = """
+SELECT doc_id, band, MIN(md5(concat(CAST(band AS VARCHAR), '|', tok))) AS min_hash
+FROM (
+  SELECT t.doc_id, t.tok, b.band
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0) t
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+) s
+GROUP BY doc_id, band
+"""
+
+_SQL: dict[str, tuple[str, str]] = {
+    # --- codec-analog operators on the events table -----------------------
+    "dict_codes": 2 * (
+        """
+        SELECT event_type,
+               CAST(dense_rank() OVER (ORDER BY event_type) AS BIGINT) AS code
+        FROM (SELECT DISTINCT event_type FROM events) t
+        """,
+    ),
+    "dict_encode": 2 * (
+        """
+        SELECT e.event_id, d.code
+        FROM events e
+        JOIN (SELECT event_type,
+                     CAST(dense_rank() OVER (ORDER BY event_type) AS BIGINT) AS code
+              FROM (SELECT DISTINCT event_type FROM events) t) d
+          ON e.event_type = d.event_type
+        """,
+    ),
+    "rle_runs": 2 * (
+        """
+        SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM (
+          SELECT user_id, event_type,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN lag(event_type) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+            FROM events) o
+        ) runs
+        GROUP BY user_id, run_id, event_type
+        """,
+    ),
+    "delta_ts": (
+        """
+        SELECT event_id,
+               unix_micros(CAST(ts AS TIMESTAMP)) - lag(unix_micros(CAST(ts AS TIMESTAMP))) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+        FROM events
+        """,
+        """
+        SELECT event_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+        FROM events
+        """,
+    ),
+    "for_width": (
+        """
+        SELECT user_id, MIN(unix_micros(CAST(ts AS TIMESTAMP))) AS ref_us,
+               MAX(unix_micros(CAST(ts AS TIMESTAMP))) - MIN(unix_micros(CAST(ts AS TIMESTAMP))) AS range_us,
+               CAST(CASE WHEN MAX(unix_micros(CAST(ts AS TIMESTAMP))) = MIN(unix_micros(CAST(ts AS TIMESTAMP))) THEN 0
+                    ELSE length(bin(MAX(unix_micros(CAST(ts AS TIMESTAMP))) - MIN(unix_micros(CAST(ts AS TIMESTAMP)))))
+                    END AS BIGINT) AS bit_width
+        FROM events GROUP BY user_id
+        """,
+        """
+        SELECT user_id, MIN(epoch_us(ts)) AS ref_us,
+               MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS range_us,
+               CAST(CASE WHEN MAX(epoch_us(ts)) = MIN(epoch_us(ts)) THEN 0
+                    ELSE length(bin(MAX(epoch_us(ts)) - MIN(epoch_us(ts))))
+                    END AS BIGINT) AS bit_width
+        FROM events GROUP BY user_id
+        """,
+    ),
+    "dict_cost": 2 * (
+        """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(length(event_type)) AS BIGINT) AS raw_bytes
+        FROM events GROUP BY event_type
+        """,
+    ),
+    # --- training-data pipeline operators on documents --------------------
+    "exact_dedup": 2 * (
+        """
+        SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS keep_id
+        FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+        """,
+    ),
+    "dedup_candidates": 2 * (
+        """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM documents a JOIN documents b
+          ON substr(a.text, 1, 40) = substr(b.text, 1, 40) AND a.doc_id < b.doc_id
+        """,
+    ),
+    "minhash_signature": (_MINHASH_SIG_SPARK, _MINHASH_SIG_DUCK),
+    "minhash_lsh_pairs": (
+        f"""
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ({_MINHASH_SIG_SPARK}) a JOIN ({_MINHASH_SIG_SPARK}) b
+          ON a.band = b.band AND a.min_hash = b.min_hash AND a.doc_id < b.doc_id
+        """,
+        f"""
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ({_MINHASH_SIG_DUCK}) a JOIN ({_MINHASH_SIG_DUCK}) b
+          ON a.band = b.band AND a.min_hash = b.min_hash AND a.doc_id < b.doc_id
+        """,
+    ),
+    "token_count": (
+        """
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE size(split(trim(text), '\\\\s+')) END AS BIGINT) AS n_tokens
+        FROM documents
+        """,
+        """
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE array_length(regexp_split_to_array(trim(text), '\\s+'))
+                    END AS BIGINT) AS n_tokens
+        FROM documents
+        """,
+    ),
+    "quality_score": (
+        """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS BIGINT) AS n_alpha,
+               CAST(length(regexp_replace(text, '[^ ]', '')) AS BIGINT) AS n_spaces,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) AS BIGINT) AS n_punct
+        FROM documents
+        """,
+        """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+               CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_spaces,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+        FROM documents
+        """,
+    ),
+    "lang_guess": (
+        """
+        SELECT doc_id,
+               CASE WHEN instr(text, ' the ') > 0 OR instr(text, ' and ') > 0 THEN 'en'
+                    WHEN instr(text, ' der ') > 0 OR instr(text, ' und ') > 0 THEN 'de'
+                    WHEN instr(text, ' le ') > 0 OR instr(text, ' et ') > 0 THEN 'fr'
+                    WHEN instr(text, ' el ') > 0 OR instr(text, ' y ') > 0 THEN 'es'
+                    ELSE 'unknown' END AS lang_guess
+        FROM documents WHERE text IS NOT NULL
+        """,
+        """
+        SELECT doc_id,
+               CASE WHEN strpos(text, ' the ') > 0 OR strpos(text, ' and ') > 0 THEN 'en'
+                    WHEN strpos(text, ' der ') > 0 OR strpos(text, ' und ') > 0 THEN 'de'
+                    WHEN strpos(text, ' le ') > 0 OR strpos(text, ' et ') > 0 THEN 'fr'
+                    WHEN strpos(text, ' el ') > 0 OR strpos(text, ' y ') > 0 THEN 'es'
+                    ELSE 'unknown' END AS lang_guess
+        FROM documents WHERE text IS NOT NULL
+        """,
+    ),
+    "doc_fingerprint": 2 * (
+        """
+        SELECT doc_id, md5(lower(trim(text))) AS fp
+        FROM documents WHERE text IS NOT NULL
+        """,
+    ),
+}
+
+
+def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _views(spark, sf_dir)
+        return spark.sql(_SQL[name][0])
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Engine-native (non-SQL-expressible) queries — rows-only checks
+# ---------------------------------------------------------------------------
+
+def _codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: encode derived transcripts, decode, verify bit-identity."""
+    import pyspark.sql.types as T
+
+    from sparrow_ipc_spark.operators.decode_job import decode_blocks
+    from sparrow_ipc_spark.operators.encode_job import encode_transcripts
+    from sparrow_ipc_spark.operators.verify import roundtrip_report
+
+    df = derived_transcripts(spark, sf_dir).cache()
+    blocks_df, dict_rows, _ = encode_transcripts(spark, df, n_parts=8)
+    blocks_df = blocks_df.cache()
+    dec = decode_blocks(spark, blocks_df, dict_rows)
+    rep = roundtrip_report(df, dec)
+    sizes = blocks_df.agg(
+        F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc"),
+        F.count("*").alias("blocks"),
+    ).collect()[0]
+    schema = T.StructType(
+        [
+            T.StructField("n_turns", T.LongType()),
+            T.StructField("n_blocks", T.LongType()),
+            T.StructField("raw_bytes", T.LongType()),
+            T.StructField("enc_bytes", T.LongType()),
+            T.StructField("all_columns_identical", T.BooleanType()),
+            T.StructField("text_mismatches", T.LongType()),
+        ]
+    )
+    row = [
+        (
+            int(rep["rows_dec"]), int(sizes["blocks"]), int(sizes["raw"]),
+            int(sizes["enc"]), bool(rep["all_columns_identical"]),
+            int(rep["text_mismatches"]),
+        )
+    ]
+    return spark.createDataFrame(row, schema)
+
+
+def _codec_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column codec choices + bytes over the derived transcript table."""
+    from sparrow_ipc_spark.operators.encode_job import encode_transcripts
+
+    df = derived_transcripts(spark, sf_dir)
+    blocks_df, _, _ = encode_transcripts(spark, df, n_parts=8)
+    return (
+        blocks_df.select(F.explode("columns").alias("c"))
+        .groupBy(F.col("c.name").alias("col_name"), F.col("c.codec").alias("codec"))
+        .agg(F.count("*").alias("n_blocks"))
+    )
+
+
+def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the min-vec_id query vector (ANN baseline)."""
+    _views(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    q = emb.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb", lambda a, b: a * b),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.col(c), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "vec_id",
+            (dot / (norm("embedding") * norm("q_emb"))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _codec_roundtrip(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _sql_query(name) for name in _SQL
+    }
+    out["codec_roundtrip"] = _codec_roundtrip
+    out["codec_selection"] = _codec_selection
+    out["cosine_topk"] = _cosine_topk
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: pair[1] for name, pair in _SQL.items()}

@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, functions as F
 def _canon(col: str, dtype: str):
     c = F.col(col)
     if dtype.startswith("timestamp"):
-        c = F.unix_micros(c)
+        # NTZ-safe: session tz is UTC, so the cast is exact
+        c = F.unix_micros(c.cast("timestamp"))
     # null-safe: hash the value with a null marker so null vs '' differ
     return F.xxhash64(F.lit(col), c.cast("string"), F.isnull(c).cast("int"))
 
