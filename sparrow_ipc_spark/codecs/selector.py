@@ -100,10 +100,38 @@ def frame_buffers(enc: base.EncodedColumn) -> list[tuple[str, str, bytes]]:
     return out
 
 
+FSST_SAMPLE = 128 * 1024
+FSST_GATE_RATIO = 0.95
+
+
+def _fsst_sample_gate(arr: pa.Array) -> bool:
+    """Cheap sampled trial: run FSST(+zstd) and zstd alone on the first
+    128 KB of the data buffer; only admit the full-chunk FSST candidate if
+    the sample says it wins.  Full-chunk FSST trials were 88% of encode
+    CPU when zstd won anyway — this keeps selection exact-enough at ~1%
+    of the cost (still a pure function of chunk content)."""
+    from sparrow_ipc_spark.codecs import fsst as fsst_mod
+
+    bufs = arr.buffers()
+    if bufs[2] is None:
+        return False
+    sample = bufs[2].to_pybytes()[:FSST_SAMPLE]
+    if len(sample) < 4096:
+        return True  # tiny: full trial is cheap, let argmin decide
+    symtab = fsst_mod.train(sample)
+    enc = fsst_mod.compress(sample, symtab)
+    _, fsst_framed = base.compress_buffer(enc)
+    _, raw_framed = base.compress_buffer(sample)
+    return len(fsst_framed) + len(symtab) < FSST_GATE_RATIO * len(raw_framed)
+
+
 def select_and_encode(arr: pa.Array, ctx: dict) -> ColumnChoice:
     """Encode the shortlist, pick the smallest total framed size."""
     best: ColumnChoice | None = None
-    for codec, extra in candidates_for(arr, ctx):
+    cands = candidates_for(arr, ctx)
+    if any(c == "fsst" for c, _ in cands) and not _fsst_sample_gate(arr):
+        cands = [(c, e) for c, e in cands if c != "fsst"]
+    for codec, extra in cands:
         enc = base.encode_column(codec, arr, {**ctx, **extra})
         if enc is None:
             continue

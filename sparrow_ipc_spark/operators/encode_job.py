@@ -61,11 +61,15 @@ def build_global_dicts(
     """
     rows: list[dict] = []
     payload: dict = {}
+    if not cols:
+        return rows, payload
+    # ONE job for all dictionary columns: map-side partial collect_set keeps
+    # the shuffle tiny; codes assigned by sorted value order in the driver.
+    agg_row = df.agg(
+        *[F.collect_set(F.col(c)).alias(c) for c in cols]
+    ).collect()[0]
     for col in cols:
-        vals = [
-            r[0]
-            for r in df.select(col).where(F.col(col).isNotNull()).distinct().orderBy(col).collect()
-        ]
+        vals = sorted(v for v in agg_row[col] if v is not None)
         arr = pa.array(vals, type=pa.string())
         did = dict_id_for(col)
         offs = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(arr) + 1) if len(arr) else np.zeros(1, np.int32)
@@ -96,27 +100,44 @@ def encode_transcripts(
     dict_cols=DEFAULT_DICT_COLS,
     salt_span: int = DEFAULT_SALT_SPAN,
     skip_part_ids: set[int] | None = None,
+    clustered: bool = False,
 ) -> tuple[DataFrame, list[dict], dict]:
     """Returns (blocks_df, dictionary_rows, dict_payload).
 
     blocks_df is lazy; write it with ``.write.parquet`` (Iceberg in prod).
+
+    ``clustered=True`` declares that the input is already clustered by
+    (conv_id, turn_idx) — each conversation contiguous and turn-sorted
+    within a scan partition (the common case for an Iceberg transcript
+    table written conv-at-a-time).  The encode then maps directly over
+    scan partitions with NO shuffle and NO sort: at 100 TB, re-clustering
+    already-clustered input would be the single biggest wasted cost, and
+    locally it is the only stage that does not scale with cores (disk-
+    bound exchange).  Use ``clustered=False`` (default) for arbitrary
+    input layouts.
     """
     n_parts = n_parts or spark.sparkContext.defaultParallelism
     dict_rows, payload = build_global_dicts(df, dict_cols) if dict_cols else ([], {})
     bc = spark.sparkContext.broadcast(payload)
 
-    keyed = with_partition_key(df, salt_span)
-    if skip_part_ids:
-        # replicate HashPartitioning's row→partition map (murmur3, pmod) to
-        # prune completed partitions at the scan — resumability without
-        # re-encoding (manifest analog: stream_file_serializer.cpp:77-129)
-        part_expr = F.pmod(F.hash("conv_id", "_salt"), F.lit(n_parts))
-        keyed = keyed.where(~part_expr.isin(*[int(p) for p in skip_part_ids]))
-    parted = (
-        keyed.repartition(n_parts, "conv_id", "_salt")
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .drop("_salt")
-    )
+    if clustered:
+        parted = df
+        if skip_part_ids:
+            raise ValueError("resume requires the hash-partitioned path (clustered=False)")
+    else:
+        keyed = with_partition_key(df, salt_span)
+        if skip_part_ids:
+            # replicate HashPartitioning's row→partition map (murmur3, pmod)
+            # to prune completed partitions at the scan — resumability
+            # without re-encoding (manifest analog:
+            # stream_file_serializer.cpp:77-129)
+            part_expr = F.pmod(F.hash("conv_id", "_salt"), F.lit(n_parts))
+            keyed = keyed.where(~part_expr.isin(*[int(p) for p in skip_part_ids]))
+        parted = (
+            keyed.repartition(n_parts, "conv_id", "_salt")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .drop("_salt")
+        )
 
     fields = TRANSCRIPT_FIELDS
 
@@ -140,6 +161,75 @@ def encode_transcripts(
     return blocks_df, dict_rows, payload
 
 
+def encode_generated(
+    spark: SparkSession,
+    n_convs: int,
+    seed: int = 42,
+    batch_rows: int = 65536,
+    parallelism: int | None = None,
+    dict_payload: dict | None = None,
+) -> DataFrame:
+    """Fused synthetic-source encode: generate conversations AND encode
+    blocks inside one ``mapInPandas`` over ``spark.range(n_convs)``.
+
+    This is the scale path for benchmarking the codec pipeline against the
+    10^12-turn synthetic design point: no staging table, no JVM↔Python
+    data movement beyond conv ids in and encoded blocks out — the job is
+    pure vectorized Python compute and scales with cores like independent
+    processes.  Output blocks are identical in schema/semantics to
+    ``encode_transcripts`` (clustered path).
+    """
+    from sparrow_ipc_spark.sources import transcripts as T
+
+    parallelism = parallelism or spark.sparkContext.defaultParallelism * 3
+    payload = dict_payload or {}
+    bc = spark.sparkContext.broadcast(payload)
+    fields = TRANSCRIPT_FIELDS
+
+    def gen_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tc = TaskContext.get()
+        part_id = tc.partitionId() if tc is not None else 0
+        gdicts = {
+            c: {"dict_id": e["dict_id"], "values": pa.array(e["values"], type=pa.string())}
+            for c, e in bc.value.items()
+        }
+        ctx = {"global_dicts": gdicts}
+        vocab = T.build_vocab(seed)
+        probs = 1.0 / np.arange(1, len(vocab) + 1) ** 1.1
+        probs /= probs.sum()
+        phrases = T.build_phrases(vocab, seed)
+        tools = T.build_tools(seed)
+        seq = 0
+        pending: list[pd.DataFrame] = []
+        pending_rows = 0
+
+        def flush():
+            nonlocal seq, pending, pending_rows
+            if not pending_rows:
+                return None
+            pdf = pd.concat(pending, ignore_index=True) if len(pending) > 1 else pending[0]
+            pending, pending_rows = [], 0
+            row = blocks.encode_batch(pdf, fields, ctx, part_id, seq)
+            seq += 1
+            return pd.DataFrame([row])
+
+        for ids in batches:
+            for ci in ids["id"].to_numpy():
+                conv = T.gen_conversation(seed, int(ci), vocab, phrases, tools, probs)
+                pending.append(conv)
+                pending_rows += len(conv)
+                if pending_rows >= batch_rows:
+                    out = flush()
+                    if out is not None:
+                        yield out
+        out = flush()
+        if out is not None:
+            yield out
+
+    base = spark.range(0, n_convs, numPartitions=min(parallelism, max(1, n_convs)))
+    return base.mapInPandas(gen_encode, schema=BLOCK_SCHEMA)
+
+
 def manifest_from_blocks(blocks_df: DataFrame) -> DataFrame:
     """Per-partition lineage + metrics (Footer analog) for resume + audit."""
     return blocks_df.groupBy("part_id").agg(
@@ -147,9 +237,18 @@ def manifest_from_blocks(blocks_df: DataFrame) -> DataFrame:
         F.sum("n_rows").alias("n_rows"),
         F.sum("raw_bytes").alias("raw_bytes"),
         F.sum("enc_bytes").alias("enc_bytes"),
+        # distinct (column, codec) pairs seen in this partition — a column may
+        # legitimately use different codecs in different blocks (per-chunk
+        # argmin), so this is an array, not a map
         F.to_json(
-            F.map_from_entries(
-                F.array_distinct(F.flatten(F.collect_list(F.expr("transform(columns, c -> struct(c.name as key, c.codec as value))"))))
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.expr("transform(columns, c -> struct(c.name as col, c.codec as codec))")
+                        )
+                    )
+                )
             )
         ).alias("codec_summary"),
         F.lit("committed").alias("status"),
@@ -164,6 +263,7 @@ def write_encoded(
     dict_cols=DEFAULT_DICT_COLS,
     salt_span: int = DEFAULT_SALT_SPAN,
     resume: bool = False,
+    clustered: bool = False,
 ) -> dict:
     """Full encode job with commit: blocks + dictionaries + manifest parquet.
 
@@ -181,26 +281,25 @@ def write_encoded(
             skip = set()
     blocks_df, dict_rows, _ = encode_transcripts(
         spark, df, n_parts=n_parts, dict_cols=dict_cols, salt_span=salt_span,
-        skip_part_ids=skip or None,
+        skip_part_ids=skip or None, clustered=clustered,
     )
     blocks_df.write.mode(mode).parquet(f"{out_dir}/blocks")
     if not (resume and skip):
         spark.createDataFrame(dict_rows, schema=DICTIONARY_SCHEMA).write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/dictionaries")
-    written = spark.read.parquet(f"{out_dir}/blocks")
-    manifest = manifest_from_blocks(written)
-    manifest.write.mode("overwrite").parquet(f"{out_dir}/manifest")
-    stats = written.agg(
-        F.count("*").alias("blocks"),
-        F.sum("n_rows").alias("rows"),
-        F.sum("raw_bytes").alias("raw_bytes"),
-        F.sum("enc_bytes").alias("enc_bytes"),
-    ).collect()[0]
+    # ONE post-pass over the (small) written block metadata: per-partition
+    # manifest rows collected to the driver, totals derived from them, tiny
+    # manifest written back via createDataFrame — no second scan job.
+    written = spark.read.parquet(f"{out_dir}/blocks").drop("body")
+    man_rows = manifest_from_blocks(written).collect()
+    spark.createDataFrame(man_rows, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/manifest")
     return {
-        "blocks": stats["blocks"],
-        "rows": stats["rows"],
-        "raw_bytes": stats["raw_bytes"],
-        "enc_bytes": stats["enc_bytes"],
+        "blocks": sum(r["n_blocks"] for r in man_rows),
+        "rows": sum(r["n_rows"] for r in man_rows),
+        "raw_bytes": sum(r["raw_bytes"] for r in man_rows),
+        "enc_bytes": sum(r["enc_bytes"] for r in man_rows),
         "skipped_parts": len(skip),
     }

@@ -40,10 +40,13 @@ def roundtrip_report(src: DataFrame, dec: DataFrame) -> dict:
     fs, fd = column_fingerprints(src), column_fingerprints(dec)
     cols = [f.name for f in src.schema.fields]
     col_ok = {c: fs[f"h_{c}"] == fd[f"h_{c}"] for c in cols}
+    # per-turn text equality under (conv_id, turn_idx) keys — shuffle the
+    # 8-byte text hash, not the text itself (same verdict, ~40× less I/O)
+    th = F.xxhash64(F.col("text"), F.isnull("text").cast("int"))
     text_mismatches = (
-        src.select("conv_id", "turn_idx", F.col("text").alias("t_src"))
+        src.select("conv_id", "turn_idx", th.alias("t_src"))
         .join(
-            dec.select("conv_id", "turn_idx", F.col("text").alias("t_dec")),
+            dec.select("conv_id", "turn_idx", th.alias("t_dec")),
             ["conv_id", "turn_idx"],
             "full_outer",
         )
