@@ -170,15 +170,43 @@ _SQL: dict[str, tuple[str, str]] = {
     ),
     "minhash_signature": (_MINHASH_SIG_SPARK, _MINHASH_SIG_DUCK),
     "minhash_lsh_pairs": (
-        f"""
+        """
+        WITH toks AS (
+          SELECT t.doc_id, t.tok, b.band
+          FROM (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS tok
+                FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0) t
+          CROSS JOIN (SELECT explode(array(0, 1, 2, 3)) AS band) b
+        ), sig AS (
+          SELECT doc_id, band,
+                 MIN(md5(concat('a', CAST(band AS STRING), '|', tok))) AS m0,
+                 MIN(md5(concat('b', CAST(band AS STRING), '|', tok))) AS m1,
+                 MIN(md5(concat('c', CAST(band AS STRING), '|', tok))) AS m2,
+                 MIN(md5(concat('d', CAST(band AS STRING), '|', tok))) AS m3
+          FROM toks GROUP BY doc_id, band
+        )
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM ({_MINHASH_SIG_SPARK}) a JOIN ({_MINHASH_SIG_SPARK}) b
-          ON a.band = b.band AND a.min_hash = b.min_hash AND a.doc_id < b.doc_id
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+             AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id
         """,
-        f"""
+        """
+        WITH toks AS (
+          SELECT t.doc_id, t.tok, b.band
+          FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0) t
+          CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+        ), sig AS (
+          SELECT doc_id, band,
+                 MIN(md5(concat('a', CAST(band AS VARCHAR), '|', tok))) AS m0,
+                 MIN(md5(concat('b', CAST(band AS VARCHAR), '|', tok))) AS m1,
+                 MIN(md5(concat('c', CAST(band AS VARCHAR), '|', tok))) AS m2,
+                 MIN(md5(concat('d', CAST(band AS VARCHAR), '|', tok))) AS m3
+          FROM toks GROUP BY doc_id, band
+        )
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM ({_MINHASH_SIG_DUCK}) a JOIN ({_MINHASH_SIG_DUCK}) b
-          ON a.band = b.band AND a.min_hash = b.min_hash AND a.doc_id < b.doc_id
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+             AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id
         """,
     ),
     "token_count": (
@@ -251,6 +279,19 @@ def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# pipeline operators backed by sparrow_ipc_spark.functions (DataFrame API);
+# the _SQL entries above remain the DuckDB oracle texts for these names
+def _fn_query(fn) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_docs(spark, sf_dir))
+
+    return run
+
+
 # ---------------------------------------------------------------------------
 # Engine-native (non-SQL-expressible) queries — rows-only checks
 # ---------------------------------------------------------------------------
@@ -305,31 +346,55 @@ def _codec_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _query_vector(spark: SparkSession, sf_dir: str) -> tuple[list[float], int]:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = emb.orderBy("vec_id").limit(1).collect()[0]
+    return [float(v) for v in row["embedding"]], int(row["vec_id"])
+
+
 def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 vs the min-vec_id query vector (ANN baseline)."""
-    _views(spark, sf_dir, ("embeddings",))
-    emb = spark.table("embeddings")
-    q = emb.orderBy("vec_id").limit(1).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    dot = F.aggregate(
-        F.zip_with("embedding", "q_emb", lambda a, b: a * b),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(F.col(c), F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
-    )
-    return (
-        emb.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "vec_id",
-            (dot / (norm("embedding") * norm("q_emb"))).alias("cosine"),
-        )
-        .orderBy(F.desc("cosine"), "vec_id")
-        .limit(10)
-    )
+    from sparrow_ipc_spark.functions.similarity import cosine_topk
+
+    qv, qid = _query_vector(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") != qid)
+    return cosine_topk(emb, qv, k=10)
+
+
+def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (the scale path of cosine_topk)."""
+    from sparrow_ipc_spark.functions.similarity import ann_topk
+
+    qv, qid = _query_vector(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") != qid)
+    return ann_topk(emb, qv, k=10, n_planes=8)
+
+
+def _embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparrow_ipc_spark.functions.similarity import pairwise_cosine_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pairwise_cosine_dedup(emb, threshold=0.92, n_planes=8)
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparrow_ipc_spark.functions.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def _ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified with exact word-3-gram Jaccard."""
+    from sparrow_ipc_spark.functions.dedup import lsh_pairs, ngram_jaccard
+
+    docs = _docs(spark, sf_dir)
+    return ngram_jaccard(docs, lsh_pairs(docs), n=3)
+
+
+def _image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparrow_ipc_spark.functions.multimodal import image_features, synthetic_media
+
+    return image_features(synthetic_media(spark, n=96))
 
 
 # ---------------------------------------------------------------------------
@@ -342,12 +407,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from sparrow_ipc_spark.functions import dedup as D
+    from sparrow_ipc_spark.functions import text as X
+
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name) for name in _SQL
     }
+    # pipeline ops delegate to the functions package (same outputs; the
+    # _SQL texts stay as the DuckDB oracles)
+    out["exact_dedup"] = _fn_query(D.exact_dedup)
+    out["dedup_candidates"] = _fn_query(D.prefix_candidates)
+    out["minhash_signature"] = _fn_query(D.minhash_signatures)
+    out["minhash_lsh_pairs"] = _fn_query(D.lsh_pairs)
+    out["token_count"] = _fn_query(X.token_count)
+    out["quality_score"] = _fn_query(X.quality_metrics)
+    out["lang_guess"] = _fn_query(X.lang_guess)
+    out["doc_fingerprint"] = _fn_query(X.doc_fingerprint)
+    # engine-native / rows-only operators
     out["codec_roundtrip"] = _codec_roundtrip
     out["codec_selection"] = _codec_selection
     out["cosine_topk"] = _cosine_topk
+    out["ann_topk"] = _ann_topk
+    out["embedding_dedup"] = _embedding_dedup
+    out["simhash"] = _simhash
+    out["ngram_jaccard_lsh"] = _ngram_jaccard_lsh
+    out["image_features"] = _image_features
     return out
 
 

@@ -1,0 +1,185 @@
+"""Deduplication operators: exact, prefix-blocked candidates, MinHash+LSH,
+SimHash, n-gram Jaccard verification.
+
+Scale design: every operator is a shuffle-on-key groupBy/join — no
+pairwise O(n²) anywhere except *within* LSH buckets (bounded by bucket
+size).  Hashes are md5-based where oracle parity matters (identical in
+Spark and DuckDB) and xxhash64 (JVM-side, fast) where it doesn't."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def exact_dedup(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-group exact duplicate detection: (hash, count, keeper id)."""
+    c = F.col(col)
+    return (
+        df.where(c.isNotNull())
+        .groupBy(F.md5(c).alias("h"))
+        .agg(F.count("*").cast("long").alias("n"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def dedup_keep_first(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Return df with exact duplicates removed (lowest id wins)."""
+    w = Window.partitionBy(F.md5(F.col(col))).orderBy(id_col)
+    return (
+        df.where(F.col(col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def prefix_candidates(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+                      prefix_len: int = 40) -> DataFrame:
+    """Blocking join on a text prefix → candidate near-dup pairs."""
+    a = df.select(F.col(id_col).alias("id_a"), F.substring(col, 1, prefix_len).alias("_p"))
+    b = df.select(F.col(id_col).alias("id_b"), F.substring(col, 1, prefix_len).alias("_p"))
+    return a.join(b, "_p").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+
+
+def _tokens(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    t = F.trim(F.col(col))
+    return (
+        df.where(F.col(col).isNotNull() & (F.length(t) > 0))
+        .select(F.col(id_col), F.explode(F.split(t, TOKEN_SPLIT)).alias("tok"))
+    )
+
+
+def minhash_signatures(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+                       n_bands: int = 4) -> DataFrame:
+    """One min-hash per band per doc: (id, band, min_hash).
+
+    Band-salted md5 over word tokens — a k-mins sketch with k = n_bands.
+    groupBy(id, band) runs with map-side partial MIN, so the shuffle
+    carries one row per (doc, band), not per token."""
+    bands = F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band")
+    toks = _tokens(df, col, id_col).select(id_col, "tok", bands)
+    h = F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("tok")))
+    return (
+        toks.groupBy(id_col, "band").agg(F.min(h).alias("min_hash"))
+    )
+
+
+def lsh_pairs(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+              n_bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+    """Candidate pairs sharing any banded minhash bucket.
+
+    Classic banding: each band's bucket key concatenates ``rows_per_band``
+    independent minhashes, so collision probability is s^r per band —
+    r = 1 floods buckets on shared-vocabulary corpora (measured: 47 % of
+    all pairs on the synthetic docs), r = 4 keeps ~90 % recall at
+    token-Jaccard ≥ 0.8 while collapsing false positives on this corpus."""
+    bands = F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band")
+    toks = _tokens(df, col, id_col).select(id_col, "tok", bands)
+
+    def _h(salt: str):
+        return F.md5(
+            F.concat(F.lit(salt), F.col("band").cast("string"), F.lit("|"), F.col("tok"))
+        )
+
+    aggs = [F.min(_h(chr(97 + r))).alias(f"m{r}") for r in range(rows_per_band)]
+    sig = toks.groupBy(id_col, "band").agg(*aggs)
+    keys = ["band"] + [f"m{r}" for r in range(rows_per_band)]
+    a = sig.select(F.col(id_col).alias("id_a"), *keys)
+    b = sig.select(F.col(id_col).alias("id_b"), *keys)
+    return (
+        a.join(b, keys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens (xxhash64, JVM-side).
+
+    Per token, each of the 64 hash bits votes ±1; the sign of each bit's
+    vote sum forms the fingerprint.  Implemented as explode → per-bit
+    conditional sums → bit reassembly; one shuffle on id."""
+    toks = _tokens(df, col, id_col)
+    h = F.xxhash64("tok")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    votes = toks.groupBy(id_col).agg(*aggs)
+    # assemble bits via shifts (2**63 would overflow a signed long literal)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = fp.bitwiseOR(F.shiftleft(bit, i))
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit chunks (any equal chunk
+    → candidate; a pair within Hamming distance 3 must share one of the
+    four 16-bit chunks), verify Hamming ≤ max_hamming via bit_count."""
+    sh = simhash64(df, col, id_col)
+    chunks = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+            )
+            for i in range(4)
+        ])
+    )
+    blocked = sh.select(id_col, "simhash", chunks.alias("c")).select(
+        id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val")
+    )
+    a = blocked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "val")
+    b = blocked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "val")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Exact word n-gram Jaccard similarity for candidate pairs.
+
+    Pairwise verify stage after blocking (LSH/prefix): set sizes via
+    distinct n-grams per doc, intersection via join on n-gram."""
+    t = F.trim(F.col(col))
+    toks = df.where(F.col(col).isNotNull() & (F.length(t) > 0)).select(
+        F.col(id_col), F.split(t, TOKEN_SPLIT).alias("_toks")
+    )
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)),
+            )
+        ).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ga = grams.select(F.col(id_col).alias("id_a"), "gram")
+    gb = grams.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        pairs.join(ga, "id_a").join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,144 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing — schemas, partition-preserving UDF signatures,
+batch shapes, deterministic fake decoders for tests — is real; the actual
+media decode is stubbed behind ``NotImplementedError`` because no media
+libraries exist in this container (and none may be installed).  Swapping
+``_decode_image_real`` for a PIL/ffmpeg call is the only change needed
+in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_luma", T.FloatType(), False),
+        T.StructField("byte_entropy", T.FloatType(), False),
+    ]
+)
+
+
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """Real decode hook — requires an image library absent from this
+    container.  Replace with PIL.Image.open in production."""
+    raise NotImplementedError("media decode requires PIL/libvips (not in sandbox)")
+
+
+def _decode_image_fake(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in decoder: payload bytes tiled to (h, w).
+    Keeps the full Arrow→numpy→feature pipeline real and testable."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    need = max(1, width) * max(1, height)
+    tiled = np.resize(arr if len(arr) else np.zeros(1, np.uint8), need)
+    return tiled.reshape(max(1, height), max(1, width))
+
+
+def _entropy(b: np.ndarray) -> float:
+    counts = np.bincount(b.reshape(-1), minlength=256)
+    p = counts[counts > 0] / b.size
+    return float(-(p * np.log2(p)).sum())
+
+
+def image_features(df: DataFrame, use_real_decode: bool = False) -> DataFrame:
+    """Per-image features via Arrow-batched mapInPandas (one pass, no
+    shuffle; batch shape = maxRecordsPerBatch rows of binary payloads)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                if use_real_decode:
+                    img = _decode_image_real(r["payload"])  # pragma: no cover
+                else:
+                    img = _decode_image_fake(r["payload"], r["width"] or 1, r["height"] or 1)
+                out.append(
+                    (
+                        int(r["media_id"]), img.shape[1], img.shape[0],
+                        float(img.mean()), _entropy(img),
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    return df.where(df["kind"] == "image").mapInPandas(feats, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Nearest-neighbor resize of the (fake-)decoded image, re-encoded as
+    raw bytes — demonstrates payload-rewriting UDF shape."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                img = _decode_image_fake(r["payload"], r["width"] or 1, r["height"] or 1)
+                yi = np.linspace(0, img.shape[0] - 1, target_h).astype(np.int64)
+                xi = np.linspace(0, img.shape[1] - 1, target_w).astype(np.int64)
+                small = img[np.ix_(yi, xi)]
+                rows.append(
+                    (int(r["media_id"]), r["kind"], r["mime"], target_w, target_h,
+                     r["duration_ms"], small.tobytes())
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return df.where(df["kind"] == "image").mapInPandas(rs, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video rows: emits one row per sampled
+    timestamp with a deterministic fake frame payload."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_ms", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), False),
+        ]
+    )
+
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                dur = int(r["duration_ms"] or 0)
+                for t in range(0, max(dur, 1), every_ms):
+                    frame = _decode_image_fake(r["payload"], 8, 8)
+                    rows.append((int(r["media_id"]), t, frame.tobytes()))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.where(df["kind"] == "video").mapInPandas(fs, schema=out_schema)
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic media table for tests (no external data)."""
+    rng = np.random.default_rng([seed, 777])
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        w, h = (int(rng.integers(4, 64)), int(rng.integers(4, 64))) if kind == "image" else (None, None)
+        dur = int(rng.integers(500, 5000)) if kind != "image" else None
+        payload = rng.bytes(int(rng.integers(64, 512)))
+        rows.append((i, kind, f"x/{kind}", w, h, dur, bytearray(payload)))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

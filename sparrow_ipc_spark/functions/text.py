@@ -1,0 +1,61 @@
+"""Text analysis operators: token counting, quality scoring, language
+guess, document fingerprinting.  Pure built-in expressions — no Python
+in the hot path; every operator stays inside whole-stage codegen."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def token_count(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count per document (0 for empty, null for null)."""
+    t = F.trim(F.col(col))
+    n = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    return df.select(F.col(id_col), n.cast("long").alias("n_tokens"))
+
+
+def quality_metrics(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Char/alpha/space/punct counts — the integer inputs of a quality score."""
+    c = F.col(col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).cast("long").alias("n_chars"),
+        F.length(F.regexp_replace(c, "[^a-zA-Z]", "")).cast("long").alias("n_alpha"),
+        F.length(F.regexp_replace(c, "[^ ]", "")).cast("long").alias("n_spaces"),
+        F.length(F.regexp_replace(c, "[a-zA-Z0-9 ]", "")).cast("long").alias("n_punct"),
+    )
+
+
+def quality_score(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality in [0,1]: alpha ratio, word-length sanity, length."""
+    m = quality_metrics(df, col, id_col)
+    alpha_ratio = F.col("n_alpha") / F.greatest(F.col("n_chars"), F.lit(1))
+    punct_ratio = F.col("n_punct") / F.greatest(F.col("n_chars"), F.lit(1))
+    len_score = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+    score = (0.5 * alpha_ratio + 0.3 * (1 - punct_ratio) + 0.2 * len_score)
+    return m.select(id_col, score.alias("quality"))
+
+
+_LANG_MARKERS = {
+    "en": (" the ", " and "),
+    "de": (" der ", " und "),
+    "fr": (" le ", " et "),
+    "es": (" el ", " y "),
+}
+
+
+def lang_guess(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language guess (deterministic n-gram heuristic)."""
+    c = F.col(col)
+    expr: Column = F.lit("unknown")
+    for lang, (a, b) in reversed(list(_LANG_MARKERS.items())):
+        expr = F.when((F.instr(c, a) > 0) | (F.instr(c, b) > 0), F.lit(lang)).otherwise(expr)
+    return df.where(c.isNotNull()).select(F.col(id_col), expr.alias("lang_guess"))
+
+
+def doc_fingerprint(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonicalized content fingerprint (md5 of lower/trimmed text)."""
+    c = F.col(col)
+    return df.where(c.isNotNull()).select(
+        F.col(id_col), F.md5(F.lower(F.trim(c))).alias("fp")
+    )

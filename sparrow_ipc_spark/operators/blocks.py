@@ -69,6 +69,13 @@ def encode_batch(
             body += base.pad8(framed)
         raw_bytes += choice.raw_bytes
         enc_bytes += choice.enc_bytes
+    conv_min = conv_max = None
+    ts_min = ts_max = None
+    if n and "conv_id" in pdf.columns:
+        conv_min, conv_max = str(pdf["conv_id"].min()), str(pdf["conv_id"].max())
+    if n and "ts" in pdf.columns:
+        ts_vals = pdf["ts"].astype("datetime64[us]").astype("int64")
+        ts_min, ts_max = int(ts_vals.min()), int(ts_vals.max())
     return {
         "part_id": part_id,
         "batch_seq": batch_seq,
@@ -77,20 +84,38 @@ def encode_batch(
         "columns": columns,
         "buffers": buf_rows,
         "dict_refs": sorted(dict_refs),
+        "conv_min": conv_min,
+        "conv_max": conv_max,
+        "ts_min_us": ts_min,
+        "ts_max_us": ts_max,
         "body": bytes(body),
         "raw_bytes": raw_bytes,
         "enc_bytes": enc_bytes,
     }
 
 
-def decode_block(row: dict, ctx: dict) -> pa.Table:
-    """Inverse of encode_batch: block row → pyarrow Table."""
+def decode_block(row: dict, ctx: dict, columns: list[str] | None = None) -> pa.Table:
+    """Inverse of encode_batch: block row → pyarrow Table.
+
+    ``columns`` prunes decode to the requested columns: buffers of other
+    columns are never decompressed or decoded (the columnar payoff of
+    per-buffer descriptors — the reference's positional cursor walk,
+    deserialization_context.hpp:32-52, generalized to random access).
+    """
     n = int(row["n_rows"])
     body = row["body"]
-    columns = row["columns"]
+    col_descs = row["columns"]
+    wanted = (
+        set(range(len(col_descs)))
+        if columns is None
+        else {i for i, c in enumerate(col_descs) if c["name"] in columns}
+    )
     # group buffer descriptors by column, preserving depth-first order
     per_col: dict[int, dict[str, bytes]] = {}
     for b in row["buffers"]:
+        ci = int(b["col_idx"])
+        if ci not in wanted:
+            continue
         off, clen = int(b["offset"]), int(b["comp_len"])
         framed = bytes(body[off : off + clen])
         payload = base.decompress_buffer(framed, b["codec"])
@@ -98,9 +123,11 @@ def decode_block(row: dict, ctx: dict) -> pa.Table:
             raise ValueError(
                 f"buffer {b['kind']} uncompressed size {len(payload)} != {b['uncomp_len']}"
             )
-        per_col.setdefault(int(b["col_idx"]), {})[b["kind"]] = payload
+        per_col.setdefault(ci, {})[b["kind"]] = payload
     arrays, names = [], []
-    for col_idx, col in enumerate(columns):
+    for col_idx, col in enumerate(col_descs):
+        if col_idx not in wanted:
+            continue
         meta = json.loads(col["meta_json"])
         dtype = base.dtype_from_logical(col["logical_type"])
         arr = base.decode_column(
@@ -108,4 +135,8 @@ def decode_block(row: dict, ctx: dict) -> pa.Table:
         )
         arrays.append(arr)
         names.append(col["name"])
+    if columns is not None:
+        order = [c for c in columns if c in names]
+        arrays = [arrays[names.index(c)] for c in order]
+        names = order
     return pa.table(arrays, names=names)

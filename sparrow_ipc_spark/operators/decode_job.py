@@ -24,16 +24,64 @@ from sparrow_ipc_spark.schema import TRANSCRIPTS_SCHEMA
 
 
 def load_dict_values(dict_rows: list[dict]) -> dict[int, pa.Array]:
-    """dict_id → values array (decode-side dictionary cache)."""
-    out: dict[int, pa.Array] = {}
+    """dict_id → values array (decode-side dictionary cache).
+
+    Delta dictionaries merge by version order — values of later versions
+    append after earlier ones, exactly the reference's typed concatenation
+    (/root/reference/src/dictionary_cache.cpp:20-111)."""
+    by_id: dict[int, list[dict]] = {}
     for r in dict_rows:
-        n = int(r["n_values"])
-        offs = np.frombuffer(r["values_offsets"], dtype=np.int32)
-        data = r["values_data"] or b""
-        out[int(r["dict_id"])] = pa.Array.from_buffers(
-            pa.string(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(bytes(data))], 0
-        )
+        by_id.setdefault(int(r["dict_id"]), []).append(r)
+    out: dict[int, pa.Array] = {}
+    for did, rows in by_id.items():
+        rows.sort(key=lambda r: int(r.get("version", 0)))
+        parts = []
+        for r in rows:
+            n = int(r["n_values"])
+            offs = np.frombuffer(r["values_offsets"], dtype=np.int32)
+            data = r["values_data"] or b""
+            parts.append(
+                pa.Array.from_buffers(
+                    pa.string(), n,
+                    [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(bytes(data))], 0,
+                )
+            )
+        out[did] = pa.concat_arrays(parts) if len(parts) > 1 else parts[0]
     return out
+
+
+def prune_blocks(
+    blocks_df: DataFrame,
+    conv_id: str | None = None,
+    conv_range: tuple[str, str] | None = None,
+    ts_range_us: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Zone-map block pruning — the random-access analog of the IPC file
+    Footer (/root/reference/src/deserialize.cpp:544-591 reads only the
+    blocks the footer points at).  Predicates on the top-level zone-map
+    columns push down to the parquet scan (row-group / file skipping), so
+    a single-conversation decode touches only its blocks' bytes."""
+    from pyspark.sql import functions as F
+
+    out = blocks_df
+    if conv_id is not None:
+        out = out.where((F.col("conv_min") <= conv_id) & (F.col("conv_max") >= conv_id))
+    if conv_range is not None:
+        lo, hi = conv_range
+        out = out.where((F.col("conv_max") >= lo) & (F.col("conv_min") <= hi))
+    if ts_range_us is not None:
+        lo, hi = ts_range_us
+        out = out.where((F.col("ts_max_us") >= lo) & (F.col("ts_min_us") <= hi))
+    return out
+
+
+def _subset_schema(schema, columns):
+    import pyspark.sql.types as T
+
+    if columns is None:
+        return schema
+    by_name = {f.name: f for f in schema.fields}
+    return T.StructType([by_name[c] for c in columns])
 
 
 def decode_blocks(
@@ -41,25 +89,41 @@ def decode_blocks(
     blocks_df: DataFrame,
     dict_rows: list[dict],
     schema=TRANSCRIPTS_SCHEMA,
+    columns: list[str] | None = None,
 ) -> DataFrame:
+    """Decode blocks → rows.  ``columns`` prunes both the decode work and
+    the output schema (untouched buffers are never decompressed)."""
     bc = spark.sparkContext.broadcast(
         [
-            {k: r[k] for k in ("dict_id", "n_values", "values_offsets", "values_data")}
+            {k: r.get(k, 0) if k == "version" else r[k]
+             for k in ("dict_id", "version", "n_values", "values_offsets", "values_data")}
             for r in dict_rows
         ]
     )
+    out_schema = _subset_schema(schema, columns)
 
     def decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = {"dict_values": load_dict_values(bc.value)}
         for pdf in batches:
             for _, row in pdf.iterrows():  # one block row at a time (few per batch)
-                tbl = blocks.decode_block(row.to_dict(), ctx)
+                tbl = blocks.decode_block(row.to_dict(), ctx, columns=columns)
                 yield tbl.to_pandas()
 
-    return blocks_df.mapInPandas(decode_fn, schema=schema)
+    return blocks_df.mapInPandas(decode_fn, schema=out_schema)
 
 
-def decode_dir(spark: SparkSession, out_dir: str, schema=TRANSCRIPTS_SCHEMA) -> DataFrame:
+def decode_dir(
+    spark: SparkSession,
+    out_dir: str,
+    schema=TRANSCRIPTS_SCHEMA,
+    columns: list[str] | None = None,
+    conv_id: str | None = None,
+    ts_range_us: tuple[int, int] | None = None,
+) -> DataFrame:
     blocks_df = spark.read.parquet(f"{out_dir}/blocks")
+    blocks_df = prune_blocks(blocks_df, conv_id=conv_id, ts_range_us=ts_range_us)
     dict_rows = [r.asDict() for r in spark.read.parquet(f"{out_dir}/dictionaries").collect()]
-    return decode_blocks(spark, blocks_df, dict_rows, schema)
+    df = decode_blocks(spark, blocks_df, dict_rows, schema, columns=columns)
+    if conv_id is not None and (columns is None or "conv_id" in columns):
+        df = df.where(df["conv_id"] == conv_id)
+    return df

@@ -70,22 +70,28 @@ def build_global_dicts(
     ).collect()[0]
     for col in cols:
         vals = sorted(v for v in agg_row[col] if v is not None)
-        arr = pa.array(vals, type=pa.string())
-        did = dict_id_for(col)
-        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(arr) + 1) if len(arr) else np.zeros(1, np.int32)
-        data = arr.buffers()[2].to_pybytes()[: int(offs[-1])] if len(arr) and arr.buffers()[2] else b""
-        rows.append(
-            {
-                "dict_id": did,
-                "col_name": col,
-                "is_delta": False,
-                "n_values": len(arr),
-                "values_offsets": offs.tobytes(),
-                "values_data": data,
-            }
-        )
-        payload[col] = {"dict_id": did, "values": vals}
+        rows.append(dict_row_for_values(col, vals, version=0, is_delta=False))
+        payload[col] = {"dict_id": dict_id_for(col), "values": vals}
     return rows, payload
+
+
+def dict_row_for_values(col: str, vals: list[str], version: int, is_delta: bool) -> dict:
+    """Serialize one dictionary (or delta) batch row from a values list."""
+    arr = pa.array(vals, type=pa.string())
+    offs = (
+        np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(arr) + 1)
+        if len(arr) else np.zeros(1, np.int32)
+    )
+    data = arr.buffers()[2].to_pybytes()[: int(offs[-1])] if len(arr) and arr.buffers()[2] else b""
+    return {
+        "dict_id": dict_id_for(col),
+        "col_name": col,
+        "is_delta": is_delta,
+        "version": version,
+        "n_values": len(arr),
+        "values_offsets": offs.tobytes(),
+        "values_data": data,
+    }
 
 
 def with_partition_key(df: DataFrame, salt_span: int = DEFAULT_SALT_SPAN) -> DataFrame:
@@ -101,6 +107,7 @@ def encode_transcripts(
     salt_span: int = DEFAULT_SALT_SPAN,
     skip_part_ids: set[int] | None = None,
     clustered: bool = False,
+    dict_payload: dict | None = None,
 ) -> tuple[DataFrame, list[dict], dict]:
     """Returns (blocks_df, dictionary_rows, dict_payload).
 
@@ -117,7 +124,10 @@ def encode_transcripts(
     input layouts.
     """
     n_parts = n_parts or spark.sparkContext.defaultParallelism
-    dict_rows, payload = build_global_dicts(df, dict_cols) if dict_cols else ([], {})
+    if dict_payload is not None:
+        dict_rows, payload = [], dict_payload
+    else:
+        dict_rows, payload = build_global_dicts(df, dict_cols) if dict_cols else ([], {})
     bc = spark.sparkContext.broadcast(payload)
 
     if clustered:

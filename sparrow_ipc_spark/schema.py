@@ -94,6 +94,14 @@ BLOCK_SCHEMA = T.StructType(
             False,
         ),
         T.StructField("dict_refs", T.ArrayType(T.LongType()), False),
+        # zone maps: per-block min/max of the clustering keys — the random-
+        # access analog of the IPC file Footer's per-block index
+        # (/root/reference/src/stream_file_serializer.cpp:77-129): decode
+        # jobs prune blocks by conv_id / time range before touching bodies
+        T.StructField("conv_min", T.StringType(), True),
+        T.StructField("conv_max", T.StringType(), True),
+        T.StructField("ts_min_us", T.LongType(), True),
+        T.StructField("ts_max_us", T.LongType(), True),
         T.StructField("body", T.BinaryType(), False),
         T.StructField("raw_bytes", T.LongType(), False),
         T.StructField("enc_bytes", T.LongType(), False),
@@ -108,6 +116,9 @@ DICTIONARY_SCHEMA = T.StructType(
         T.StructField("dict_id", T.LongType(), False),
         T.StructField("col_name", T.StringType(), False),
         T.StructField("is_delta", T.BooleanType(), False),
+        # concat order for delta merge (reference: dictionary_cache.cpp:20-111
+        # appends delta values to the stored dictionary in arrival order)
+        T.StructField("version", T.LongType(), False),
         T.StructField("n_values", T.LongType(), False),
         # dictionary values as a length-prefixed utf-8 blob (offsets+data),
         # the 1-column record batch of a DictionaryBatch message

@@ -1,0 +1,93 @@
+"""Incremental (streaming) encode: Structured Streaming → encoded blocks.
+
+The analog of the reference's stateful streaming serializer
+(include/sparrow_ipc/serializer.hpp:36-263): schema fixed up front,
+dictionaries emitted before the data batches that reference them, new
+dictionary values arriving mid-stream emitted as DELTA dictionary batches
+(Message.fbs:129-131 ``isDelta``; merge semantics
+/root/reference/src/dictionary_cache.cpp:20-111), then per-micro-batch
+record batches appended to the block table.
+
+Driver-side dictionary state (known values + next version per column) is
+the dictionary_tracker analog (/root/reference/src/dictionary_tracker.cpp:
+233-307): values are assigned codes exactly once, in first-seen-sorted
+order, and never re-emitted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sparrow_ipc_spark.operators.encode_job import (
+    DEFAULT_DICT_COLS,
+    dict_id_for,
+    dict_row_for_values,
+    encode_transcripts,
+)
+from sparrow_ipc_spark.schema import DICTIONARY_SCHEMA
+
+
+class StreamingEncoder:
+    """foreachBatch sink: incremental encode with delta dictionaries."""
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 dict_cols=DEFAULT_DICT_COLS, n_parts: int | None = None):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.dict_cols = tuple(dict_cols)
+        self.n_parts = n_parts
+        # dictionary_tracker state: col → ordered known values (+ set)
+        self._values: dict[str, list] = {c: [] for c in self.dict_cols}
+        self._known: dict[str, set] = {c: set() for c in self.dict_cols}
+        self._version = 0
+
+    def _update_dictionaries(self, df: DataFrame) -> list[dict]:
+        """Emit-once protocol: detect new values, emit one delta row per
+        column with additions; codes extend the existing assignment."""
+        if not self.dict_cols:
+            return []
+        agg = df.agg(*[F.collect_set(F.col(c)).alias(c) for c in self.dict_cols]).collect()[0]
+        rows = []
+        for c in self.dict_cols:
+            fresh = sorted(v for v in agg[c] if v is not None and v not in self._known[c])
+            if not fresh:
+                continue
+            is_delta = self._version > 0 or bool(self._values[c])
+            rows.append(dict_row_for_values(c, fresh, version=self._version, is_delta=is_delta))
+            self._values[c].extend(fresh)
+            self._known[c].update(fresh)
+        if rows:
+            self._version += 1
+        return rows
+
+    def payload(self) -> dict:
+        return {
+            c: {"dict_id": dict_id_for(c), "values": list(self._values[c])}
+            for c in self.dict_cols
+        }
+
+    def process_batch(self, df: DataFrame, batch_id: int) -> None:
+        dict_rows = self._update_dictionaries(df)
+        if dict_rows:
+            # dictionaries land before the blocks that reference them
+            self.spark.createDataFrame(dict_rows, schema=DICTIONARY_SCHEMA).write.mode(
+                "append"
+            ).parquet(f"{self.out_dir}/dictionaries")
+        blocks_df, _, _ = encode_transcripts(
+            self.spark, df, n_parts=self.n_parts, dict_cols=self.dict_cols,
+            dict_payload=self.payload(),
+        )
+        blocks_df.write.mode("append").parquet(f"{self.out_dir}/blocks")
+
+
+def encode_stream(spark: SparkSession, stream_df: DataFrame, out_dir: str,
+                  checkpoint_dir: str, dict_cols=DEFAULT_DICT_COLS,
+                  trigger_once: bool = False):
+    """Attach the streaming encoder to a streaming transcripts DataFrame."""
+    enc = StreamingEncoder(spark, out_dir, dict_cols)
+    writer = stream_df.writeStream.foreachBatch(enc.process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), enc

@@ -1,0 +1,116 @@
+"""Pipeline operator tests: dedup, similarity, simhash, n-gram Jaccard,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparrow_ipc_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different text about spark encoding pipelines"),
+        (4, "der schnelle braune fuchs und der faule hund"),
+        (5, None),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    out = {r["h"]: r for r in dedup.exact_dedup(docs).collect()}
+    dup_groups = [r for r in out.values() if r["n"] > 1]
+    assert len(dup_groups) == 1 and dup_groups[0]["keep_id"] == 0
+    kept = dedup.dedup_keep_first(docs)
+    assert kept.count() == 5  # 6 non-null minus 1 dup
+    assert kept.where("doc_id = 1").count() == 0
+
+
+def test_lsh_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs  # exact dup always lands in same buckets
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup shares most tokens
+
+
+def test_ngram_jaccard(docs):
+    pairs = dedup.lsh_pairs(docs)
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.ngram_jaccard(docs, pairs).collect()}
+    assert jac[(0, 1)] == pytest.approx(1.0)
+    if (0, 2) in jac:
+        assert 0.3 < jac[(0, 2)] < 1.0
+
+
+def test_simhash_near_pairs(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert sh[0] == sh[1]  # identical text → identical fingerprint
+    ham02 = bin(sh[0] ^ sh[2]).count("1")
+    ham03 = bin(sh[0] ^ sh[3]).count("1")
+    assert ham02 < ham03  # near dup closer than unrelated
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dedup.simhash_near_pairs(docs, max_hamming=10).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_text_operators(docs):
+    tc = {r["doc_id"]: r["n_tokens"] for r in text.token_count(docs).collect()}
+    assert tc[0] == 9 and tc[6] == 0 and tc[5] is None
+    lg = {r["doc_id"]: r["lang_guess"] for r in text.lang_guess(docs).collect()}
+    assert lg[0] == "en" and lg[4] == "de"
+    q = {r["doc_id"]: r["quality"] for r in text.quality_score(docs).collect()}
+    assert 0 <= q[0] <= 1
+    fps = {r["doc_id"]: r["fp"] for r in text.doc_fingerprint(docs).collect()}
+    assert fps[0] == fps[1] != fps[2]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near dup of 0
+    rows = [(i, [float(v) for v in base[i]]) for i in range(len(base))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_cosine_topk_exact(vectors):
+    q = [float(v) for v in vectors.where("vec_id = 0").collect()[0]["embedding"]]
+    top = similarity.cosine_topk(vectors.where("vec_id != 0"), q, k=3).collect()
+    assert top[0]["vec_id"] == 1  # the planted near-duplicate wins
+    assert top[0]["cosine"] > 0.99
+
+
+def test_ann_matches_exact_top1(vectors):
+    q = [float(v) for v in vectors.where("vec_id = 0").collect()[0]["embedding"]]
+    rest = vectors.where("vec_id != 0")
+    ann = similarity.ann_topk(rest, q, k=3, n_planes=6).collect()
+    assert ann and ann[0]["vec_id"] == 1
+
+
+def test_embedding_dedup(vectors):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             similarity.pairwise_cosine_dedup(vectors, threshold=0.98, n_planes=6).collect()}
+    assert (0, 1) in pairs
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    feats = multimodal.image_features(media).collect()
+    assert len(feats) == 10  # every 3rd row is an image
+    assert all(0 <= r["mean_luma"] <= 255 and 0 <= r["byte_entropy"] <= 8 for r in feats)
+    # deterministic fake decode → deterministic features
+    feats2 = multimodal.image_features(media).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
+    resized = multimodal.resize_images(media, 8, 6).collect()
+    assert all(len(r["payload"]) == 48 and r["width"] == 8 and r["height"] == 6 for r in resized)
+    frames = multimodal.sample_frames(media, every_ms=1000)
+    fr = frames.collect()
+    assert all(len(r["frame"]) == 64 for r in fr)
+    # real decode path is stubbed: must raise loudly, not silently fake
+    with pytest.raises(Exception):
+        multimodal.image_features(media, use_real_decode=True).collect()
