@@ -208,6 +208,8 @@ def dtype_from_logical(logical: str) -> pa.DataType:
     }
     if logical in mapping:
         return mapping[logical]
+    if logical.startswith("list<") and logical.endswith(">"):
+        return pa.list_(dtype_from_logical(logical[5:-1]))
     if logical.startswith("timestamp"):
         # e.g. "timestamp[us]" / "timestamp[us, tz=UTC]"
         inner = logical[len("timestamp["):-1]

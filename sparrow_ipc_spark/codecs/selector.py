@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from sparrow_ipc_spark.codecs import base, rle
+from sparrow_ipc_spark.codecs import base, listcodec, rle
 
 # gates (tuned on the synthetic transcript distributions; conservative —
 # the exact argmin downstream corrects any shortlist mistake except a
@@ -53,6 +53,9 @@ def _raw_size(arr: pa.Array) -> int:
         return data + 4 * (n + 1)
     if pa.types.is_boolean(t):
         return (n + 7) // 8
+    if pa.types.is_list(t):
+        child = arr.flatten()
+        return 4 * (n + 1) + len(child) * max(1, child.type.bit_width // 8)
     return n * max(1, t.bit_width // 8)
 
 
@@ -88,6 +91,12 @@ def candidates_for(arr: pa.Array, ctx: dict) -> list[tuple[str, dict]]:
         cands.append(("for_bitpack", {"delta": mono >= DELTA_MONOTONIC_FRAC}))
     elif pa.types.is_boolean(t):
         cands.append(("rle", {}))
+    elif pa.types.is_floating(t):
+        cands.append(("float_shuffle", {}))
+    elif listcodec.applicable(t):
+        # raw passthrough cannot express nested layouts; list_prim is the
+        # canonical encoding (its buffers still go through the zstd stage)
+        return [("list_prim", {})]
     return cands
 
 

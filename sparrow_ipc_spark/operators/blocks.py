@@ -14,6 +14,7 @@ contract (include/sparrow_ipc/deserialization_context.hpp:32-52).
 from __future__ import annotations
 
 import json
+import zlib
 
 import pandas as pd
 import pyarrow as pa
@@ -89,6 +90,7 @@ def encode_batch(
         "ts_min_us": ts_min,
         "ts_max_us": ts_max,
         "body": bytes(body),
+        "body_crc32": zlib.crc32(bytes(body)),
         "raw_bytes": raw_bytes,
         "enc_bytes": enc_bytes,
     }
@@ -104,6 +106,12 @@ def decode_block(row: dict, ctx: dict, columns: list[str] | None = None) -> pa.T
     """
     n = int(row["n_rows"])
     body = row["body"]
+    if "body_crc32" in row and row["body_crc32"] is not None:
+        if zlib.crc32(bytes(body)) != int(row["body_crc32"]):
+            raise ValueError(
+                f"block (part={row.get('part_id')}, seq={row.get('batch_seq')}) "
+                "body checksum mismatch — corrupted block"
+            )
     col_descs = row["columns"]
     wanted = (
         set(range(len(col_descs)))

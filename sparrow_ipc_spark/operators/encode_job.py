@@ -48,6 +48,53 @@ TRANSCRIPT_FIELDS = [
     ("ts", "timestamp[us]"),
 ]
 
+# Spark SQL type → engine logical type (the format-string switch analog,
+# /root/reference/src/flatbuffer_utils.cpp:86-447)
+_SPARK_TO_LOGICAL = {
+    "string": "string",
+    "binary": "binary",
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+    "boolean": "bool",
+    "date": "date32[day]",
+    "timestamp": "timestamp[us]",
+    "timestamp_ntz": "timestamp[us]",
+    "array<float>": "list<float>",
+    "array<double>": "list<double>",
+    "array<int>": "list<int32>",
+    "array<bigint>": "list<int64>",
+}
+
+
+def infer_fields(df: DataFrame) -> list[tuple[str, str]]:
+    """(name, logical_type) per column; raises on unsupported types."""
+    fields = []
+    for f in df.schema.fields:
+        s = f.dataType.simpleString()
+        if s not in _SPARK_TO_LOGICAL:
+            raise ValueError(f"unsupported column type for encode: {f.name}: {s}")
+        fields.append((f.name, _SPARK_TO_LOGICAL[s]))
+    return fields
+
+
+def spark_schema_for(fields: list[tuple[str, str]]):
+    """Inverse mapping for decode output schemas."""
+    import pyspark.sql.types as T
+
+    inv = {
+        "string": T.StringType(), "binary": T.BinaryType(), "int8": T.ByteType(),
+        "int16": T.ShortType(), "int32": T.IntegerType(), "int64": T.LongType(),
+        "float32": T.FloatType(), "float64": T.DoubleType(), "bool": T.BooleanType(),
+        "date32[day]": T.DateType(), "timestamp[us]": T.TimestampType(),
+        "list<float>": T.ArrayType(T.FloatType()), "list<double>": T.ArrayType(T.DoubleType()),
+        "list<int32>": T.ArrayType(T.IntegerType()), "list<int64>": T.ArrayType(T.LongType()),
+    }
+    return T.StructType([T.StructField(n, inv[t], True) for n, t in fields])
+
 
 def build_global_dicts(
     df: DataFrame, cols=DEFAULT_DICT_COLS
@@ -108,6 +155,7 @@ def encode_transcripts(
     skip_part_ids: set[int] | None = None,
     clustered: bool = False,
     dict_payload: dict | None = None,
+    fields: list[tuple[str, str]] | None = None,
 ) -> tuple[DataFrame, list[dict], dict]:
     """Returns (blocks_df, dictionary_rows, dict_payload).
 
@@ -149,7 +197,10 @@ def encode_transcripts(
             .drop("_salt")
         )
 
-    fields = TRANSCRIPT_FIELDS
+    fields = fields or (
+        TRANSCRIPT_FIELDS if set(df.columns) == {n for n, _ in TRANSCRIPT_FIELDS}
+        else infer_fields(df)
+    )
 
     def encode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tc = TaskContext.get()
@@ -313,3 +364,17 @@ def write_encoded(
         "enc_bytes": sum(r["enc_bytes"] for r in man_rows),
         "skipped_parts": len(skip),
     }
+
+
+def encode_table(
+    spark: SparkSession,
+    df: DataFrame,
+    dict_cols: tuple = (),
+) -> tuple[DataFrame, list[dict], dict]:
+    """Encode ANY supported table (strings, ints, floats, timestamps,
+    bools, list<primitive>) into block rows — the general entry point for
+    non-transcript tables (documents, embeddings, ...).  Shuffle-free:
+    maps over the input's existing partitioning."""
+    return encode_transcripts(
+        spark, df, dict_cols=dict_cols, clustered=True, fields=infer_fields(df)
+    )

@@ -103,6 +103,9 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("ts_min_us", T.LongType(), True),
         T.StructField("ts_max_us", T.LongType(), True),
         T.StructField("body", T.BinaryType(), False),
+        # integrity: crc32 of the body (the analog of the reference's
+        # exact-size decompress validation, compression.cpp:176-190)
+        T.StructField("body_crc32", T.LongType(), False),
         T.StructField("raw_bytes", T.LongType(), False),
         T.StructField("enc_bytes", T.LongType(), False),
     ]

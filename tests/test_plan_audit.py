@@ -1,0 +1,63 @@
+"""Physical-plan regression guards: the scale-critical plan shapes.
+
+A failure here means a 100TB-scale slowdown was about to ship: an
+accidental shuffle in a map-only job, or a predicate that stopped
+reaching the parquet scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparrow_ipc_spark.operators.decode_job import decode_blocks, prune_blocks
+from sparrow_ipc_spark.operators.encode_job import encode_transcripts, write_encoded
+from sparrow_ipc_spark.plans import audit
+from sparrow_ipc_spark.sources.transcripts import transcripts_df
+
+
+@pytest.fixture(scope="module")
+def encoded_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("enc_plan"))
+    df = transcripts_df(spark, n_convs=30, seed=42).cache()
+    write_encoded(spark, df, out, n_parts=4)
+    return out
+
+
+def test_clustered_encode_has_no_shuffle(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("plan_src"))
+    transcripts_df(spark, n_convs=20, seed=42).write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
+    blocks_df, _, _ = encode_transcripts(spark, df, n_parts=4, clustered=True)
+    audit.assert_no_shuffle(blocks_df, "clustered encode")
+
+
+def test_hashed_encode_has_exactly_one_shuffle(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("plan_src2"))
+    transcripts_df(spark, n_convs=20, seed=42).write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
+    blocks_df, _, _ = encode_transcripts(spark, df, n_parts=4, clustered=False)
+    # the salted repartition is the job's ONLY exchange
+    assert audit.count_exchanges(blocks_df) == 1, audit.shuffle_exchanges(blocks_df)
+
+
+def test_decode_has_no_shuffle(spark, encoded_dir):
+    blocks_df = spark.read.parquet(f"{encoded_dir}/blocks")
+    dict_rows = [r.asDict() for r in spark.read.parquet(f"{encoded_dir}/dictionaries").collect()]
+    dec = decode_blocks(spark, blocks_df, dict_rows)
+    audit.assert_no_shuffle(dec, "decode")
+
+
+def test_zone_map_predicates_push_down(spark, encoded_dir):
+    blocks_df = spark.read.parquet(f"{encoded_dir}/blocks")
+    pruned = prune_blocks(blocks_df, conv_id="conv_0abc")
+    pf = audit.pushed_filters(pruned)
+    assert "conv_min" in pf and "conv_max" in pf, f"zone-map filters not pushed: {pf!r}"
+
+
+def test_block_metadata_scan_prunes_body(spark, encoded_dir):
+    # manifest-style reads must not deserialize block bodies
+    meta = spark.read.parquet(f"{encoded_dir}/blocks").drop("body").select(
+        "part_id", "n_rows", "enc_bytes"
+    )
+    rs = audit.scan_schema(meta)
+    assert "body" not in rs, f"body column not pruned from scan: {rs}"

@@ -1,0 +1,67 @@
+"""Generalized table encode: any supported schema round-trips
+bit-identical (embeddings with array<float>, documents, events)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparrow_ipc_spark.operators.decode_job import decode_blocks
+from sparrow_ipc_spark.operators.encode_job import encode_table, infer_fields, spark_schema_for
+from sparrow_ipc_spark.operators.verify import column_fingerprints
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("table", ["embeddings", "documents", "events", "lineitem", "orders"])
+def test_any_table_roundtrip(spark, table):
+    df = spark.read.parquet(f"{SF}/{table}.parquet")
+    fields = infer_fields(df)
+    blocks_df, dict_rows, _ = encode_table(spark, df)
+    dec = decode_blocks(spark, blocks_df, dict_rows, schema=spark_schema_for(fields))
+    fs, fd = column_fingerprints(df), column_fingerprints(dec)
+    assert fs == fd, {k: (fs[k], fd[k]) for k in fs if fs[k] != fd[k]}
+
+
+def test_unsupported_type_rejected(spark):
+    df = spark.createDataFrame([({"a": 1},)], "m map<string,int>")
+    with pytest.raises(ValueError, match="unsupported column type"):
+        infer_fields(df)
+
+
+def test_checksum_detects_corruption(spark, tmp_path_factory):
+    import pyspark.sql.functions as F
+
+    from sparrow_ipc_spark.operators.encode_job import write_encoded
+    from sparrow_ipc_spark.sources.transcripts import transcripts_df
+
+    out = str(tmp_path_factory.mktemp("crc"))
+    df = transcripts_df(spark, n_convs=10, seed=42)
+    write_encoded(spark, df, out, n_parts=2)
+    blocks = spark.read.parquet(f"{out}/blocks")
+    # truncating the body guarantees a checksum mismatch
+    tampered = blocks.withColumn("body", F.expr("substring(body, 1, length(body) - 1)"))
+    dict_rows = [r.asDict() for r in spark.read.parquet(f"{out}/dictionaries").collect()]
+    with pytest.raises(Exception, match="checksum|PythonException|corrupted"):
+        decode_blocks(spark, tampered, dict_rows).count()
+
+
+def test_decode_stream(spark, tmp_path_factory):
+    from sparrow_ipc_spark.operators.encode_job import write_encoded
+    from sparrow_ipc_spark.sources.transcripts import transcripts_df
+    from sparrow_ipc_spark.streaming.decode_stream import decode_stream
+
+    out = str(tmp_path_factory.mktemp("dstream"))
+    sink = str(tmp_path_factory.mktemp("dstream_sink"))
+    ckpt = str(tmp_path_factory.mktemp("dstream_ckpt"))
+    df = transcripts_df(spark, n_convs=10, seed=42).cache()
+    write_encoded(spark, df, out, n_parts=2)
+    stream = decode_stream(spark, out)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == df.count()
