@@ -96,6 +96,31 @@ def bitunpack(data: bytes, n: int, width: int) -> np.ndarray:
     return (bits << shifts).sum(axis=1, dtype=np.uint64)
 
 
+def bytepack(u: np.ndarray, nbytes: int) -> bytes:
+    """Byte-aligned packing: keep the low ``nbytes`` little-endian bytes of
+    each uint64 value.  A contiguous slice copy — ~50× faster than sub-byte
+    bit-packing on this host; the ≤7 bits/value of slack is high-order
+    zeros, which the zstd stage removes almost entirely."""
+    if nbytes == 0 or len(u) == 0:
+        return b""
+    if nbytes == 8:
+        return np.ascontiguousarray(u).tobytes()
+    b = np.ascontiguousarray(u).view(np.uint8).reshape(len(u), 8)
+    return np.ascontiguousarray(b[:, :nbytes]).tobytes()
+
+
+def byteunpack(data: bytes, n: int, nbytes: int) -> np.ndarray:
+    """Inverse of bytepack → uint64 array of length n."""
+    if nbytes == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    if nbytes == 8:
+        return np.frombuffer(data, dtype=np.uint64, count=n).copy()
+    src = np.frombuffer(data, dtype=np.uint8, count=n * nbytes).reshape(n, nbytes)
+    out = np.zeros((n, 8), dtype=np.uint8)
+    out[:, :nbytes] = src
+    return out.view(np.uint64).reshape(n)
+
+
 # ---------------------------------------------------------------------------
 # Arrow helpers
 # ---------------------------------------------------------------------------

@@ -67,9 +67,17 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
     ref = int(e.min())
     u = e.view(np.uint64) - np.uint64(ref & _MASK64)  # wrapping: exact mod 2^64
     width = base.bit_width(u)
-    meta.update(ref=ref, width=width)
-    if width:
-        bufs.append(("packed", base.bitpack(u, width)))
+    # sub-byte bit-packing only where the dense bit matrix is cheap (≤8
+    # bits); wider values use byte-aligned packing (memcpy-speed) and let
+    # the zstd stage squeeze the ≤7 bits/value of high-zero slack
+    if width <= 8:
+        meta.update(ref=ref, width=width, pack="bits")
+        if width:
+            bufs.append(("packed", base.bitpack(u, width)))
+    else:
+        nbytes = (width + 7) // 8
+        meta.update(ref=ref, width=nbytes * 8, pack="bytes")
+        bufs.append(("packed", base.bytepack(u, nbytes)))
     return base.EncodedColumn(codec="for_bitpack", meta=meta, buffers=bufs)
 
 
@@ -94,7 +102,10 @@ def decode(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.DataTyp
     delta = bool(meta["delta"])
     width = int(meta["width"])
     m = (n - 1) if delta else n
-    u = base.bitunpack(buffers.get("packed", b""), m, width)
+    if meta.get("pack", "bits") == "bytes":
+        u = base.byteunpack(buffers.get("packed", b""), m, width // 8)
+    else:
+        u = base.bitunpack(buffers.get("packed", b""), m, width)
     e = (u + np.uint64(int(meta["ref"]) & _MASK64)).astype(np.uint64)
     if delta:
         first = np.uint64(int(meta["first"]) & _MASK64)
