@@ -13,5 +13,5 @@ from sparrow_ipc_spark.codecs.base import (  # noqa: F401
     decompress_buffer,
     encode_column,
 )
-from sparrow_ipc_spark.codecs import dictionary, forbp, fsst, listcodec, raw, rle  # noqa: F401
+from sparrow_ipc_spark.codecs import dictionary, forbp, fsst, listcodec, raw, rle, structcodec  # noqa: F401
 from sparrow_ipc_spark.codecs.selector import select_and_encode  # noqa: F401

@@ -215,6 +215,21 @@ def decode_column(codec: str, meta: dict, buffers: dict[str, bytes], length: int
     return DECODERS[codec](meta, buffers, length, dtype, ctx or {})
 
 
+def split_top_level(inner: str) -> list[str]:
+    """Split 'a: struct<x: t, y: t>, b: string' on top-level commas only."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(inner):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(inner[start:i].strip())
+            start = i + 1
+    parts.append(inner[start:].strip())
+    return parts
+
+
 def dtype_from_logical(logical: str) -> pa.DataType:
     mapping = {
         "string": pa.string(),
@@ -235,6 +250,16 @@ def dtype_from_logical(logical: str) -> pa.DataType:
         return mapping[logical]
     if logical.startswith("list<") and logical.endswith(">"):
         return pa.list_(dtype_from_logical(logical[5:-1]))
+    if logical.startswith("decimal128(") or logical.startswith("decimal("):
+        inner = logical[logical.index("(") + 1 : -1]
+        p, sc = [int(x.strip()) for x in inner.split(",")]
+        return pa.decimal128(p, sc)
+    if logical.startswith("struct<") and logical.endswith(">"):
+        fields = []
+        for part in split_top_level(logical[7:-1]):
+            nm, tp = part.split(": ", 1)
+            fields.append(pa.field(nm, dtype_from_logical(tp)))
+        return pa.struct(fields)
     if logical.startswith("timestamp"):
         # e.g. "timestamp[us]" / "timestamp[us, tz=UTC]"
         inner = logical[len("timestamp["):-1]

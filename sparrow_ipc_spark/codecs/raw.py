@@ -40,6 +40,12 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
             data = ab[2].to_pybytes()[: int(offs[-1])] if ab[2] is not None else b""
         bufs.append(("offsets", offsets))
         bufs.append(("data", data))
+    elif pa.types.is_decimal(t):
+        filled = arr.fill_null(0) if arr.null_count else arr
+        ab = filled.buffers()
+        width = t.bit_width // 8
+        data = ab[1].to_pybytes()[: n * width] if ab[1] is not None else b""
+        bufs.append(("data", data))
     elif pa.types.is_boolean(t):
         filled = arr.fill_null(False) if arr.null_count else arr
         data = np.packbits(
@@ -96,6 +102,12 @@ def decode(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.DataTyp
         vbuf = None if valid is None else pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
         return pa.Array.from_buffers(
             t, length, [vbuf, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)], null_count
+        )
+    if pa.types.is_decimal(t):
+        null_count = 0 if valid is None else int(length - valid.sum())
+        vbuf = None if valid is None else pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+        return pa.Array.from_buffers(
+            t, length, [vbuf, pa.py_buffer(buffers.get("data", b""))], null_count
         )
     if pa.types.is_boolean(t):
         bits = np.unpackbits(

@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from sparrow_ipc_spark.codecs import base, listcodec, rle
+from sparrow_ipc_spark.codecs import base, listcodec, rle, structcodec
 
 # gates (tuned on the synthetic transcript distributions; conservative —
 # the exact argmin downstream corrects any shortlist mistake except a
@@ -56,6 +56,8 @@ def _raw_size(arr: pa.Array) -> int:
     if pa.types.is_list(t):
         child = arr.flatten()
         return 4 * (n + 1) + len(child) * max(1, child.type.bit_width // 8)
+    if pa.types.is_struct(t):
+        return sum(_raw_size(arr.field(i)) for i in range(t.num_fields)) + (n + 7) // 8
     return n * max(1, t.bit_width // 8)
 
 
@@ -97,6 +99,8 @@ def candidates_for(arr: pa.Array, ctx: dict) -> list[tuple[str, dict]]:
         # raw passthrough cannot express nested layouts; list_prim is the
         # canonical encoding (its buffers still go through the zstd stage)
         return [("list_prim", {})]
+    elif structcodec.applicable(t):
+        return [("struct", {})]
     return cands
 
 

@@ -1,0 +1,90 @@
+"""Struct codec: children recursively encoded with their own best codecs.
+
+Mirrors the reference's struct kernel (/root/reference/src/
+array_deserializer.cpp:389-495: validity buffer, then children decoded
+sequentially, same length) with the engine twist that each child gets the
+full codec auto-selection (a struct<role:string, score:float> encodes its
+role child with a dictionary and its score child byte-shuffled).
+
+Buffer kinds are prefixed ``c{i}_`` per child — the depth-first positional
+cursor contract (deserialization_context.hpp:32-52) flattened into named
+kinds.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from sparrow_ipc_spark.codecs import base
+
+
+def applicable(t: pa.DataType) -> bool:
+    return pa.types.is_struct(t)
+
+
+def _select_unframed(arr: pa.Array, ctx: dict) -> base.EncodedColumn:
+    """Child codec choice by pre-compression payload size (the general
+    zstd stage runs once at the top level, so nested framing would
+    double-compress — the CompressionCache lesson, compression.cpp:33-125)."""
+    from sparrow_ipc_spark.codecs import selector
+
+    best: base.EncodedColumn | None = None
+    cands = selector.candidates_for(arr, ctx)
+    if any(c == "fsst" for c, _ in cands) and not selector._fsst_sample_gate(arr):
+        cands = [(c, e) for c, e in cands if c != "fsst"]
+    for codec, extra in cands:
+        enc = base.encode_column(codec, arr, {**ctx, **extra})
+        if enc is not None and (best is None or enc.payload_bytes < best.payload_bytes):
+            best = enc
+    assert best is not None
+    return best
+
+
+def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
+    if not applicable(arr.type):
+        return None
+    bufs: list[tuple[str, bytes]] = []
+    vb = base.validity_bytes(arr)
+    if vb is not None:
+        bufs.append(("validity", vb))
+    children_meta = []
+    for i in range(arr.type.num_fields):
+        field = arr.type.field(i)
+        child = arr.field(i)
+        # struct-null slots: child values under a null struct are masked on
+        # decode; flatten() keeps them but field() preserves raw child —
+        # canonicalize via combine to zero-offset
+        enc = _select_unframed(child, {**ctx, "col_name": f"{ctx.get('col_name', '')}.{field.name}"})
+        children_meta.append(
+            {
+                "name": field.name,
+                "logical": str(field.type),
+                "codec": enc.codec,
+                "meta": enc.meta,
+            }
+        )
+        for kind, payload in enc.buffers:
+            bufs.append((f"c{i}_{kind}", payload))
+    return base.EncodedColumn(codec="struct", meta={"children": children_meta}, buffers=bufs)
+
+
+def decode(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.DataType,
+           ctx: dict) -> pa.Array:
+    valid = base.validity_from_bytes(buffers.get("validity"), length)
+    children, names = [], []
+    for i, cm in enumerate(meta["children"]):
+        prefix = f"c{i}_"
+        cbufs = {k[len(prefix):]: v for k, v in buffers.items() if k.startswith(prefix)}
+        ct = base.dtype_from_logical(cm["logical"])
+        children.append(base.decode_column(cm["codec"], cm["meta"], cbufs, length, ct, ctx))
+        names.append(cm["name"])
+    import numpy as np
+
+    mask = None if valid is None else pa.array(~np.asarray(valid))
+    out = pa.StructArray.from_arrays(children, names, mask=mask)
+    if out.type != dtype:
+        out = out.cast(dtype)
+    return out
+
+
+base.register("struct", encode, decode)

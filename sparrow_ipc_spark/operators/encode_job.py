@@ -72,12 +72,22 @@ _SPARK_TO_LOGICAL = {
 
 def infer_fields(df: DataFrame) -> list[tuple[str, str]]:
     """(name, logical_type) per column; raises on unsupported types."""
+    import pyspark.sql.types as T
+
+    def logical_of(dt) -> str:
+        s = dt.simpleString()
+        if s in _SPARK_TO_LOGICAL:
+            return _SPARK_TO_LOGICAL[s]
+        if isinstance(dt, T.DecimalType):
+            return f"decimal128({dt.precision}, {dt.scale})"
+        if isinstance(dt, T.StructType):
+            inner = ", ".join(f"{c.name}: {logical_of(c.dataType)}" for c in dt.fields)
+            return f"struct<{inner}>"
+        raise ValueError(f"unsupported column type for encode: {s}")
+
     fields = []
     for f in df.schema.fields:
-        s = f.dataType.simpleString()
-        if s not in _SPARK_TO_LOGICAL:
-            raise ValueError(f"unsupported column type for encode: {f.name}: {s}")
-        fields.append((f.name, _SPARK_TO_LOGICAL[s]))
+        fields.append((f.name, logical_of(f.dataType)))
     return fields
 
 
@@ -93,7 +103,24 @@ def spark_schema_for(fields: list[tuple[str, str]]):
         "list<float>": T.ArrayType(T.FloatType()), "list<double>": T.ArrayType(T.DoubleType()),
         "list<int32>": T.ArrayType(T.IntegerType()), "list<int64>": T.ArrayType(T.LongType()),
     }
-    return T.StructType([T.StructField(n, inv[t], True) for n, t in fields])
+
+    def spark_type_of(logical: str):
+        if logical in inv:
+            return inv[logical]
+        if logical.startswith("decimal128("):
+            p, sc = [int(x) for x in logical[11:-1].split(",")]
+            return T.DecimalType(p, sc)
+        if logical.startswith("struct<"):
+            from sparrow_ipc_spark.codecs.base import split_top_level
+
+            subs = []
+            for part in split_top_level(logical[7:-1]):
+                nm, tp = part.split(": ", 1)
+                subs.append(T.StructField(nm, spark_type_of(tp), True))
+            return T.StructType(subs)
+        raise ValueError(f"no spark type for {logical}")
+
+    return T.StructType([T.StructField(n, spark_type_of(t), True) for n, t in fields])
 
 
 def build_global_dicts(

@@ -65,3 +65,24 @@ def test_decode_stream(spark, tmp_path_factory):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(sink).count() == df.count()
+
+
+def test_decimal_and_struct_roundtrip(spark):
+    from decimal import Decimal
+
+    rows = [
+        (0, Decimal("123.45"), {"role": "user", "score": 1.5}),
+        (1, None, None),
+        (2, Decimal("-0.01"), {"role": "assistant", "score": None}),
+        (3, Decimal("99999999.99"), {"role": "user", "score": 0.0}),
+    ] * 20
+    rows = [(i,) + r[1:] for i, r in enumerate(rows)]
+    df = spark.createDataFrame(
+        rows, "id long, amount decimal(10,2), info struct<role:string, score:double>"
+    )
+    fields = infer_fields(df)
+    blocks_df, dr, _ = encode_table(spark, df)
+    dec = decode_blocks(spark, blocks_df, dr, schema=spark_schema_for(fields))
+    src = {tuple(str(x) for x in r) for r in df.collect()}
+    out = {tuple(str(x) for x in r) for r in dec.collect()}
+    assert src == out
