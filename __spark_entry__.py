@@ -224,6 +224,20 @@ _SQL: dict[str, tuple[str, str]] = {
         FROM documents
         """,
     ),
+    "token_count_bpe": (
+        """
+        SELECT doc_id,
+               CAST(size(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]', 0)) AS BIGINT)
+                 AS n_bpe_tokens
+        FROM documents
+        """,
+        """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
+                 AS n_bpe_tokens
+        FROM documents
+        """,
+    ),
     "quality_score": (
         """
         SELECT doc_id,
@@ -420,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["minhash_signature"] = _fn_query(D.minhash_signatures)
     out["minhash_lsh_pairs"] = _fn_query(D.lsh_pairs)
     out["token_count"] = _fn_query(X.token_count)
+    out["token_count_bpe"] = _fn_query(X.token_count_bpe)
     out["quality_score"] = _fn_query(X.quality_metrics)
     out["lang_guess"] = _fn_query(X.lang_guess)
     out["doc_fingerprint"] = _fn_query(X.doc_fingerprint)

@@ -14,6 +14,17 @@ def token_count(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Dat
     return df.select(F.col(id_col), n.cast("long").alias("n_tokens"))
 
 
+BPE_TOKEN_RE = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_count_bpe(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-style pre-tokenizer count: alnum words + individual punctuation
+    marks (the standard byte-pair-encoding pre-split, public convention)."""
+    c = F.col(col)
+    n = F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
+    return df.select(F.col(id_col), n.cast("long").alias("n_bpe_tokens"))
+
+
 def quality_metrics(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Char/alpha/space/punct counts — the integer inputs of a quality score."""
     c = F.col(col)
