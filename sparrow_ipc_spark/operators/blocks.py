@@ -18,12 +18,105 @@ import zlib
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from sparrow_ipc_spark.codecs import base, selector
 
 # pandas → arrow conversion types for the encode UDF entry point
 def arrow_type_of(logical: str) -> pa.DataType:
     return base.dtype_from_logical(logical)
+
+
+def _canonical(arr: pa.Array, target: pa.DataType) -> pa.Array:
+    """Zero-offset, target-typed array (buffer math assumes offset 0)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.type != target:
+        arr = arr.cast(target)
+    if arr.offset != 0:
+        # force a compaction copy (rare: Spark delivers offset-0 batches)
+        arr = pa.concat_arrays([arr])
+        if arr.offset != 0:
+            arr = arr.take(pa.array(range(len(arr)), type=pa.int64()))
+    return arr
+
+
+def encode_batch_arrow(
+    batch: pa.RecordBatch,
+    fields: list[tuple[str, str]],
+    ctx: dict,
+    part_id: int,
+    batch_seq: int,
+) -> dict:
+    """Encode one Arrow batch into one block row (dict matching BLOCK_SCHEMA).
+
+    Pure-Arrow path (no pandas object materialization): columns come in as
+    pa arrays and go straight to the codec kernels."""
+    n = batch.num_rows
+    field_nodes, columns, buf_rows = [], [], []
+    body = bytearray()
+    dict_refs: set[int] = set()
+    raw_bytes = 0
+    enc_bytes = 0
+    name_to_col = {batch.schema.field(i).name: batch.column(i) for i in range(batch.num_columns)}
+    arrays: dict[str, pa.Array] = {}
+    for col_idx, (name, logical) in enumerate(fields):
+        arr = _canonical(name_to_col[name], arrow_type_of(logical))
+        arrays[name] = arr
+        choice = selector.select_and_encode(arr, {**ctx, "col_name": name})
+        enc = choice.encoded
+        field_nodes.append({"name": name, "length": len(arr), "null_count": arr.null_count})
+        columns.append(
+            {
+                "name": name,
+                "logical_type": logical,
+                "codec": enc.codec,
+                "meta_json": json.dumps(enc.meta, separators=(",", ":")),
+            }
+        )
+        if enc.codec == "dict":
+            dict_refs.add(int(enc.meta["dict_id"]))
+        for (kind, payload), (_, gcodec, framed) in zip(enc.buffers, choice.framed):
+            offset = len(body)
+            buf_rows.append(
+                {
+                    "col_idx": col_idx,
+                    "kind": kind,
+                    "codec": gcodec,
+                    "offset": offset,
+                    "comp_len": len(framed),
+                    "uncomp_len": len(payload),
+                }
+            )
+            body += base.pad8(framed)
+        raw_bytes += choice.raw_bytes
+        enc_bytes += choice.enc_bytes
+    conv_min = conv_max = None
+    ts_min = ts_max = None
+    if n and "conv_id" in arrays:
+        mm = pc.min_max(arrays["conv_id"])
+        conv_min, conv_max = mm["min"].as_py(), mm["max"].as_py()
+    if n and "ts" in arrays and pa.types.is_timestamp(arrays["ts"].type):
+        mm = pc.min_max(arrays["ts"].cast(pa.int64()))
+        ts_min, ts_max = mm["min"].as_py(), mm["max"].as_py()
+    body_b = bytes(body)
+    return {
+        "part_id": part_id,
+        "batch_seq": batch_seq,
+        "n_rows": n,
+        "field_nodes": field_nodes,
+        "columns": columns,
+        "buffers": buf_rows,
+        "dict_refs": sorted(dict_refs),
+        "conv_min": conv_min,
+        "conv_max": conv_max,
+        "ts_min_us": ts_min,
+        "ts_max_us": ts_max,
+        "body": body_b,
+        "body_crc32": zlib.crc32(body_b),
+        "raw_bytes": raw_bytes,
+        "enc_bytes": enc_bytes,
+    }
 
 
 def encode_batch(

@@ -101,15 +101,20 @@ def decode_blocks(
         ]
     )
     out_schema = _subset_schema(schema, columns)
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-    def decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    arrow_out = to_arrow_schema(out_schema)
+
+    def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # pure-Arrow decode: block rows in, decoded record batches out
         ctx = {"dict_values": load_dict_values(bc.value)}
-        for pdf in batches:
-            for _, row in pdf.iterrows():  # one block row at a time (few per batch)
-                tbl = blocks.decode_block(row.to_dict(), ctx, columns=columns)
-                yield tbl.to_pandas()
+        for batch in batches:
+            for row in batch.to_pylist():  # one block row at a time (few per batch)
+                tbl = blocks.decode_block(row, ctx, columns=columns)
+                tbl = tbl.cast(arrow_out)
+                yield from tbl.to_batches()
 
-    return blocks_df.mapInPandas(decode_fn, schema=out_schema)
+    return blocks_df.mapInArrow(decode_fn, schema=out_schema)
 
 
 def decode_dir(

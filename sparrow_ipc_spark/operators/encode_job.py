@@ -229,7 +229,10 @@ def encode_transcripts(
         else infer_fields(df)
     )
 
-    def encode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from sparrow_ipc_spark.schema import arrow_block_schema
+
+    def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # pure-Arrow encode: no pandas object materialization on either side
         tc = TaskContext.get()
         part_id = tc.partitionId() if tc is not None else 0
         gdicts = {
@@ -237,15 +240,16 @@ def encode_transcripts(
             for c, e in bc.value.items()
         }
         ctx = {"global_dicts": gdicts}
+        out_schema = arrow_block_schema()
         seq = 0
-        for pdf in batches:
-            if not len(pdf):
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            row = blocks.encode_batch(pdf, fields, ctx, part_id, seq)
+            row = blocks.encode_batch_arrow(batch, fields, ctx, part_id, seq)
             seq += 1
-            yield pd.DataFrame([row])
+            yield pa.RecordBatch.from_pylist([row], schema=out_schema)
 
-    blocks_df = parted.mapInPandas(encode_fn, schema=BLOCK_SCHEMA)
+    blocks_df = parted.mapInArrow(encode_fn, schema=BLOCK_SCHEMA)
     return blocks_df, dict_rows, payload
 
 

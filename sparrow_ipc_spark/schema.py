@@ -164,3 +164,33 @@ LOGICAL_TYPES = {
     "timestamp[us]": "timestamp[us]",
     "date32[day]": "date32[day]",
 }
+
+
+def arrow_block_schema():
+    """pyarrow schema mirroring BLOCK_SCHEMA (for mapInArrow encode)."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("part_id", pa.int32()),
+            ("batch_seq", pa.int32()),
+            ("n_rows", pa.int64()),
+            ("field_nodes", pa.list_(pa.struct(
+                [("name", pa.string()), ("length", pa.int64()), ("null_count", pa.int64())]))),
+            ("columns", pa.list_(pa.struct(
+                [("name", pa.string()), ("logical_type", pa.string()),
+                 ("codec", pa.string()), ("meta_json", pa.string())]))),
+            ("buffers", pa.list_(pa.struct(
+                [("col_idx", pa.int32()), ("kind", pa.string()), ("codec", pa.string()),
+                 ("offset", pa.int64()), ("comp_len", pa.int64()), ("uncomp_len", pa.int64())]))),
+            ("dict_refs", pa.list_(pa.int64())),
+            ("conv_min", pa.string()),
+            ("conv_max", pa.string()),
+            ("ts_min_us", pa.int64()),
+            ("ts_max_us", pa.int64()),
+            ("body", pa.binary()),
+            ("body_crc32", pa.int64()),
+            ("raw_bytes", pa.int64()),
+            ("enc_bytes", pa.int64()),
+        ]
+    )
