@@ -5,7 +5,7 @@ The Spark analog of ``deserialize_stream_to_record_batches``
 first (DictionaryBatch before RecordBatch ordering), broadcast to every
 task (the decode-side dictionary_cache, /root/reference/src/
 dictionary_cache.cpp:114-172), then every block decodes independently in
-``mapInPandas`` — embarrassingly parallel, no shuffle at all; ordering is
+``mapInArrow`` — embarrassingly parallel, no shuffle at all; ordering is
 restored lazily by the consumer (``orderBy(conv_id, turn_idx)``) only when
 a globally sorted view is required.
 """
