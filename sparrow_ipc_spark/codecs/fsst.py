@@ -183,6 +183,9 @@ def applicable(t: pa.DataType) -> bool:
     return pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t)
 
 
+MAX_PASSES = 2
+
+
 def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
     if not applicable(arr.type):
         return None
@@ -195,18 +198,32 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
     else:
         offs = np.frombuffer(ab[1], dtype=odt, count=n + 1)
         data = ab[2].to_pybytes()[: int(offs[-1])] if ab[2] is not None else b""
-    symtab = train(data)
-    enc = compress(data, symtab)
+    # iterated digram passes (Re-Pair/BPE-style): pass k's digrams expand
+    # to up to 2^k source bytes, so 2 passes ≈ 4-byte symbols.  Keep a pass
+    # only if it actually shrinks the stream; lengths recorded per pass so
+    # decode can validate each inverse step exactly.
+    symtabs: list[bytes] = []
+    lens: list[int] = [len(data)]
+    enc = data
+    for _ in range(MAX_PASSES):
+        st = train(enc)
+        nxt = compress(enc, st)
+        if len(nxt) >= len(enc) * 0.98:
+            break
+        symtabs.append(st)
+        enc = nxt
+        lens.append(len(enc))
     bufs: list[tuple[str, bytes]] = []
     vb = base.validity_bytes(arr)
     if vb is not None:
         bufs.append(("validity", vb))
-    bufs.append(("symtab", symtab))
+    for i, st in enumerate(symtabs):
+        bufs.append((f"symtab{i}", st))
     bufs.append(("data", enc))
     offs_enc = forbp.encode(pa.array(offs.astype(np.int64)), {"delta": True})
     for kind, b in offs_enc.buffers:
         bufs.append((f"o_{kind}", b))
-    meta = {"orig_len": len(data), "offsets_meta": offs_enc.meta}
+    meta = {"lens": lens, "offsets_meta": offs_enc.meta}
     return base.EncodedColumn(codec="fsst", meta=meta, buffers=bufs)
 
 
@@ -218,7 +235,14 @@ def decode(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.DataTyp
         "for_bitpack", meta["offsets_meta"], o_bufs, length + 1, pa.int64(), ctx
     )
     offs64 = offs_arr.to_numpy(zero_copy_only=False).astype(np.int64)
-    data = decompress(buffers.get("data", b""), buffers["symtab"], int(meta["orig_len"]))
+    if "lens" in meta:
+        lens = [int(x) for x in meta["lens"]]
+        data = buffers.get("data", b"")
+        # invert passes in reverse order; lens[i] = length after i passes
+        for i in range(len(lens) - 2, -1, -1):
+            data = decompress(data, buffers[f"symtab{i}"], lens[i])
+    else:  # legacy single-pass blocks
+        data = decompress(buffers.get("data", b""), buffers["symtab"], int(meta["orig_len"]))
     odt = np.int64 if pa.types.is_large_string(dtype) else np.int32
     offsets = offs64.astype(odt)
     null_count = 0 if valid is None else int(length - valid.sum())

@@ -31,15 +31,22 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
         w = _offsets_width(t)
         ab = arr.buffers()
         if ab[1] is None or n == 0:
-            offsets = np.zeros(1, dtype=np.int64 if w == 8 else np.int32).tobytes()
+            offs = np.zeros(1, dtype=np.int64 if w == 8 else np.int32)
             data = b""
         else:
             odt = np.int64 if w == 8 else np.int32
             offs = np.frombuffer(ab[1], dtype=odt, count=n + 1)
-            offsets = offs.tobytes()
             data = ab[2].to_pybytes()[: int(offs[-1])] if ab[2] is not None else b""
-        bufs.append(("offsets", offsets))
+        # offsets are monotonic → delta + byte-pack (string lengths are
+        # small ints); ~4× smaller than plain int32 even after zstd
+        from sparrow_ipc_spark.codecs import forbp
+
+        offs_enc = forbp.encode(pa.array(offs.astype(np.int64)), {"delta": True})
+        for kind, b in offs_enc.buffers:
+            bufs.append((f"o_{kind}", b))
+        meta = {"offsets_meta": offs_enc.meta}
         bufs.append(("data", data))
+        return base.EncodedColumn(codec="raw", meta=meta, buffers=bufs)
     elif pa.types.is_decimal(t):
         filled = arr.fill_null(0) if arr.null_count else arr
         ab = filled.buffers()
@@ -96,7 +103,14 @@ def decode(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.DataTyp
     if pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t) or pa.types.is_large_binary(t):
         w = _offsets_width(t)
         odt = np.int64 if w == 8 else np.int32
-        offsets = np.frombuffer(buffers["offsets"], dtype=odt)
+        if "offsets" in buffers:  # legacy plain-offset blocks
+            offsets = np.frombuffer(buffers["offsets"], dtype=odt)
+        else:
+            o_bufs = {k[2:]: v for k, v in buffers.items() if k.startswith("o_")}
+            offs_arr = base.decode_column(
+                "for_bitpack", meta["offsets_meta"], o_bufs, length + 1, pa.int64(), ctx
+            )
+            offsets = offs_arr.to_numpy(zero_copy_only=False).astype(odt)
         data = buffers.get("data", b"")
         null_count = 0 if valid is None else int(length - valid.sum())
         vbuf = None if valid is None else pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())

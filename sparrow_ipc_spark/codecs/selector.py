@@ -131,11 +131,18 @@ def _fsst_sample_gate(arr: pa.Array) -> bool:
     sample = bufs[2].to_pybytes()[:FSST_SAMPLE]
     if len(sample) < 4096:
         return True  # tiny: full trial is cheap, let argmin decide
-    symtab = fsst_mod.train(sample)
-    enc = fsst_mod.compress(sample, symtab)
+    # mirror the codec's multi-pass encode exactly, else the gate rejects
+    # chunks where only the second pass wins (template-heavy text)
+    enc, tab_bytes = sample, 0
+    for _ in range(fsst_mod.MAX_PASSES):
+        st = fsst_mod.train(enc)
+        nxt = fsst_mod.compress(enc, st)
+        if len(nxt) >= len(enc) * 0.98:
+            break
+        enc, tab_bytes = nxt, tab_bytes + len(st)
     _, fsst_framed = base.compress_buffer(enc)
     _, raw_framed = base.compress_buffer(sample)
-    return len(fsst_framed) + len(symtab) < FSST_GATE_RATIO * len(raw_framed)
+    return len(fsst_framed) + tab_bytes < FSST_GATE_RATIO * len(raw_framed)
 
 
 def select_and_encode(arr: pa.Array, ctx: dict) -> ColumnChoice:

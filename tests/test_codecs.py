@@ -133,3 +133,38 @@ def test_buffer_framing_never_inflates():
     codec2, framed2 = base.compress_buffer(compressible)
     assert codec2 != "none" and len(framed2) < len(compressible) // 4
     assert base.decompress_buffer(framed2, codec2) == compressible
+
+
+# --- hypothesis property tests: FoR/bitpack and RLE over arbitrary ints ---
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.one_of(st.integers(-(2**63), 2**63 - 1), st.none()), min_size=0, max_size=300),
+    st.booleans(),
+)
+def test_forbp_property(values, delta):
+    arr = pa.array(values, type=pa.int64())
+    roundtrip("for_bitpack", arr, {"delta": delta})
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.one_of(st.integers(-1000, 1000), st.none()), min_size=1, max_size=300))
+def test_rle_property(values):
+    roundtrip("rle", pa.array(values, type=pa.int64()))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.one_of(st.text(max_size=30), st.none()), min_size=0, max_size=150))
+def test_string_selector_property(values):
+    """Whatever the selector picks must round-trip exactly."""
+    from sparrow_ipc_spark.codecs.selector import select_and_encode
+
+    arr = pa.array(values, type=pa.string())
+    ch = select_and_encode(arr, {"col_name": "text"})
+    bufs = {}
+    for (kind, _), (_, gcodec, framed) in zip(ch.encoded.buffers, ch.framed):
+        bufs[kind] = base.decompress_buffer(framed, gcodec)
+    out = base.decode_column(ch.encoded.codec, ch.encoded.meta, bufs, len(arr), pa.string(), {})
+    assert out.to_pylist() == arr.to_pylist()

@@ -61,3 +61,28 @@ def test_manifest_metrics(spark, small_df, tmp_path_factory):
     assert {r["status"] for r in rows} == {"committed"}
     assert sum(r["n_rows"] for r in rows) == small_df.count()
     assert all(r["enc_bytes"] > 0 for r in rows)
+
+
+def test_crash_resume_completes_missing_partitions(spark, small_df, tmp_path_factory):
+    """Kill-and-restart model (BASELINE resumability row): simulate a crash
+    that committed only some partitions, then resume must encode exactly
+    the missing ones and the union must round-trip bit-identical."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path_factory.mktemp("enc_crash"))
+    write_encoded(spark, small_df, out, n_parts=4)
+    # simulate crash after partitions {0,1} committed: rewrite blocks +
+    # manifest keeping only those part_ids
+    kept_blocks = spark.read.parquet(f"{out}/blocks").where(F.col("part_id") < 2).cache()
+    kept_manifest = spark.read.parquet(f"{out}/manifest").where(F.col("part_id") < 2).cache()
+    kept_blocks.count(), kept_manifest.count()
+    kept_blocks.write.mode("overwrite").parquet(f"{out}/blocks")
+    kept_manifest.write.mode("overwrite").parquet(f"{out}/manifest")
+
+    stats = write_encoded(spark, small_df, out, n_parts=4, resume=True)
+    assert stats["skipped_parts"] == 2
+    man = spark.read.parquet(f"{out}/manifest")
+    assert man.select("part_id").distinct().count() == 4
+    rep = roundtrip_report(small_df, decode_dir(spark, out))
+    assert rep["all_columns_identical"], rep
+    assert rep["text_mismatches"] == 0
