@@ -196,9 +196,9 @@ def main() -> None:
     n_convs = max(200, int(sf * CONVS_PER_SF))
 
     # scaling evidence: same fused job, same deterministic input, 8 vs CPUS
-    # threads (half-size input: efficiency is a ratio, smaller runs allow
-    # more interleaved rounds against host noise bursts)
-    fwall8, fwall32, frows = timed_fused_pair(max(200, n_convs // 2))
+    # threads.  Probe size is sf-independent (≥100k convs ≈ 1.7M turns):
+    # below that the job is overhead-bound and the ratio is meaningless.
+    fwall8, fwall32, frows = timed_fused_pair(max(100_000, n_convs // 2))
     fthr8, fthr32 = frows / fwall8, frows / fwall32
     efficiency = (fthr32 / fthr8) / (CPUS / 8)
 
