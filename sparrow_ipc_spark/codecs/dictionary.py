@@ -31,15 +31,24 @@ def dict_id_for(col_name: str) -> int:
     return int.from_bytes(h[:8], "little") & 0x7FFFFFFFFFFFFFFF
 
 
+def _index_width(n_dict: int) -> int:
+    """Bytes per index: smallest width that addresses the dictionary."""
+    return max(1, ((max(n_dict - 1, 0)).bit_length() + 7) // 8)
+
+
 def _indices_bytes(arr: pa.Array, values: pa.Array) -> tuple[bytes, bytes | None, bool]:
-    """(int32 index bytes, validity bytes, ok) — vectorized C++ lookup."""
+    """(byte-packed index bytes, validity bytes, ok) — vectorized lookup;
+    indices stored at the minimal byte width for the dictionary size."""
     codes = pc.index_in(arr, value_set=values)
     # a non-null value missing from the dictionary is a contract violation
     if arr.null_count != codes.null_count:
         return b"", None, False
     vb = base.validity_bytes(codes)
-    filled = codes.fill_null(0).cast(pa.int32())
-    return np.ascontiguousarray(filled.to_numpy(zero_copy_only=False), dtype=np.int32).tobytes(), vb, True
+    filled = codes.fill_null(0).cast(pa.int64())
+    u = np.ascontiguousarray(
+        filled.to_numpy(zero_copy_only=False), dtype=np.int64
+    ).view(np.uint64)
+    return base.bytepack(u, _index_width(len(values))), vb, True
 
 
 def encode_global(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
@@ -90,12 +99,16 @@ def encode_local(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
 
 
 def _take_with_validity(values: pa.Array, buffers: dict[str, bytes], length: int) -> pa.Array:
-    idx = np.frombuffer(buffers["indices"], dtype=np.int32, count=length)
+    raw_idx = buffers["indices"]
+    if len(raw_idx) == 4 * length:  # legacy int32 blocks
+        idx = np.frombuffer(raw_idx, dtype=np.int32, count=length).astype(np.int64)
+    else:
+        idx = base.byteunpack(raw_idx, length, _index_width(len(values))).view(np.int64)
     valid = base.validity_from_bytes(buffers.get("validity"), length)
     if valid is None:
-        indices = pa.array(idx, type=pa.int32())
+        indices = pa.array(idx, type=pa.int64())
     else:
-        indices = pa.array(idx, type=pa.int32(), mask=~valid)
+        indices = pa.array(idx, type=pa.int64(), mask=~valid)
     return values.take(indices)  # null index → null output
 
 
