@@ -131,16 +131,6 @@ def byteunpack(data: bytes, n: int, nbytes: int) -> np.ndarray:
 # Arrow helpers
 # ---------------------------------------------------------------------------
 
-def canonical_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Zero-offset contiguous array (buffer math assumes offset 0)."""
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    if arr.offset != 0:
-        arr = pa.concat_arrays([arr.slice(arr.offset - arr.offset)])  # no-op guard
-        arr = pa.Array.from_pandas(arr.to_pandas(), type=arr.type)
-    return arr
-
-
 def validity_bytes(arr: pa.Array) -> bytes | None:
     """LSB validity bitmap bytes, or None when no nulls (buffer 0 in the
     reference layout, deserialize_array_impl.hpp:61)."""
@@ -159,23 +149,6 @@ def validity_from_bytes(b: bytes | None, n: int) -> np.ndarray | None:
 
 def logical_type_of(arr: pa.Array) -> str:
     return str(arr.type)
-
-
-def int_values_view(arr: pa.Array) -> np.ndarray:
-    """Int64 view of an integer/timestamp array with null slots canonicalized
-    to 0 (logical values preserved; null-slot padding is not semantic — the
-    reference recomputes null counts from bitmaps, deserialize_utils.cpp:9-28)."""
-    t = arr.type
-    if pa.types.is_timestamp(t):
-        np_arr = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
-    else:
-        np_arr = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
-    if arr.null_count:
-        np_arr = np.nan_to_num(np_arr, nan=0.0)
-        np_arr = np_arr.astype(np.int64)
-    else:
-        np_arr = np_arr.astype(np.int64)
-    return np_arr
 
 
 def rebuild_with_validity(values: pa.Array, valid: np.ndarray | None) -> pa.Array:
@@ -236,30 +209,92 @@ def split_top_level(inner: str) -> list[str]:
     return parts
 
 
+_SCALAR_LOGICAL = {
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "binary": pa.binary(),
+    "large_binary": pa.large_binary(),
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "uint8": pa.uint8(),
+    "uint16": pa.uint16(),
+    "uint32": pa.uint32(),
+    "uint64": pa.uint64(),
+    "float": pa.float32(),
+    "float32": pa.float32(),
+    "double": pa.float64(),
+    "float64": pa.float64(),
+    "bool": pa.bool_(),
+    "date32[day]": pa.date32(),
+    "date64[ms]": pa.date64(),
+    "time32[s]": pa.time32("s"),
+    "time32[ms]": pa.time32("ms"),
+    "time64[us]": pa.time64("us"),
+    "time64[ns]": pa.time64("ns"),
+    "duration[s]": pa.duration("s"),
+    "duration[ms]": pa.duration("ms"),
+    "duration[us]": pa.duration("us"),
+    "duration[ns]": pa.duration("ns"),
+}
+
+
+def _strip_field_name(part: str) -> str:
+    """'item: float' / 'element: float' → 'float' (pa's str() embeds the
+    child field name for list types; our canonical form omits it)."""
+    if ": " in part:
+        head, rest = part.split(": ", 1)
+        if "<" not in head and head in ("item", "element", "entries"):
+            return rest
+    return part
+
+
+def logical_str(t: pa.DataType) -> str:
+    """Canonical logical-type string (the engine's format-string analog of
+    the reference's type switch, /root/reference/src/flatbuffer_utils.cpp:86-447)."""
+    if pa.types.is_map(t):
+        return f"map<{logical_str(t.key_type)}, {logical_str(t.item_type)}>"
+    if pa.types.is_fixed_size_list(t):
+        return f"fixed_size_list<{logical_str(t.value_type)}, {t.list_size}>"
+    if pa.types.is_large_list(t):
+        return f"large_list<{logical_str(t.value_type)}>"
+    if pa.types.is_list(t):
+        return f"list<{logical_str(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ", ".join(f"{t.field(i).name}: {logical_str(t.field(i).type)}"
+                          for i in range(t.num_fields))
+        return f"struct<{inner}>"
+    return str(t)
+
+
 def dtype_from_logical(logical: str) -> pa.DataType:
-    mapping = {
-        "string": pa.string(),
-        "large_string": pa.large_string(),
-        "binary": pa.binary(),
-        "int8": pa.int8(),
-        "int16": pa.int16(),
-        "int32": pa.int32(),
-        "int64": pa.int64(),
-        "float": pa.float32(),
-        "float32": pa.float32(),
-        "double": pa.float64(),
-        "float64": pa.float64(),
-        "bool": pa.bool_(),
-        "date32[day]": pa.date32(),
-    }
-    if logical in mapping:
-        return mapping[logical]
+    if logical in _SCALAR_LOGICAL:
+        return _SCALAR_LOGICAL[logical]
     if logical.startswith("list<") and logical.endswith(">"):
-        return pa.list_(dtype_from_logical(logical[5:-1]))
+        return pa.list_(dtype_from_logical(_strip_field_name(logical[5:-1])))
+    if logical.startswith("large_list<") and logical.endswith(">"):
+        return pa.large_list(dtype_from_logical(_strip_field_name(logical[11:-1])))
+    if logical.startswith("fixed_size_list<"):
+        if logical.endswith(">"):  # canonical "fixed_size_list<T, k>"
+            parts = split_top_level(logical[16:-1])
+            child, k = ", ".join(parts[:-1]), int(parts[-1])
+        else:  # pa native "fixed_size_list<item: T>[k]"
+            body, tail = logical[16:].rsplit(">[", 1)
+            child, k = body, int(tail[:-1])
+        return pa.list_(dtype_from_logical(_strip_field_name(child)), k)
+    if logical.startswith("map<") and logical.endswith(">"):
+        kt, vt = split_top_level(logical[4:-1])
+        return pa.map_(dtype_from_logical(kt), dtype_from_logical(vt))
+    if logical.startswith("fixed_size_binary[") and logical.endswith("]"):
+        return pa.binary(int(logical[18:-1]))
     if logical.startswith("decimal128(") or logical.startswith("decimal("):
         inner = logical[logical.index("(") + 1 : -1]
         p, sc = [int(x.strip()) for x in inner.split(",")]
         return pa.decimal128(p, sc)
+    if logical.startswith("decimal256("):
+        p, sc = [int(x.strip()) for x in logical[11:-1].split(",")]
+        return pa.decimal256(p, sc)
     if logical.startswith("struct<") and logical.endswith(">"):
         fields = []
         for part in split_top_level(logical[7:-1]):

@@ -83,27 +83,35 @@ def encode_local(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
     if vb is not None:
         bufs.append(("validity", vb))
     bufs.append(("indices", idx_bytes))
-    # dictionary values ride inside the block as offsets+data sub-buffers
+    # dictionary values ride inside the block as offsets+data sub-buffers;
+    # offsets at the values type's native width (int64 for large_string)
+    large = pa.types.is_large_string(values.type) or pa.types.is_large_binary(values.type)
+    odt = np.int64 if large else np.int32
     voff = values.buffers()[1]
     vdat = values.buffers()[2]
     n = len(values)
     if voff is None:
-        offsets = np.zeros(1, dtype=np.int32)
+        offsets = np.zeros(1, dtype=odt)
         data = b""
     else:
-        offsets = np.frombuffer(voff, dtype=np.int32, count=n + 1)
-        data = vdat.to_pybytes()[: int(offsets[-1])] if vdat is not None else b""
+        offsets = np.frombuffer(voff, dtype=odt, count=n + 1)
+        data = vdat.slice(0, int(offsets[-1])).to_pybytes() if vdat is not None else b""
     bufs.append(("dict_offsets", offsets.tobytes()))
     bufs.append(("dict_data", data))
     return base.EncodedColumn(codec="dict_local", meta={"n_dict": n}, buffers=bufs)
 
 
-def _take_with_validity(values: pa.Array, buffers: dict[str, bytes], length: int) -> pa.Array:
+def _take_with_validity(values: pa.Array, buffers: dict[str, bytes], length: int,
+                        n_dict: int) -> pa.Array:
+    """``n_dict`` is the ENCODE-time dictionary size from block meta — the
+    decode-time ``values`` may be larger (delta dictionaries appended after
+    this block was written), and the index byte width is fixed at encode."""
     raw_idx = buffers["indices"]
-    if len(raw_idx) == 4 * length:  # legacy int32 blocks
-        idx = np.frombuffer(raw_idx, dtype=np.int32, count=length).astype(np.int64)
+    width = _index_width(n_dict)
+    if len(raw_idx) != width * length and len(raw_idx) == 4 * length:
+        idx = np.frombuffer(raw_idx, dtype=np.int32, count=length).astype(np.int64)  # legacy int32
     else:
-        idx = base.byteunpack(raw_idx, length, _index_width(len(values))).view(np.int64)
+        idx = base.byteunpack(raw_idx, length, width).view(np.int64)
     valid = base.validity_from_bytes(buffers.get("validity"), length)
     if valid is None:
         indices = pa.array(idx, type=pa.int64())
@@ -117,20 +125,24 @@ def decode_global(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.
     values = ctx["dict_values"][int(meta["dict_id"])]
     if values.type != dtype:
         values = values.cast(dtype)
-    return _take_with_validity(values, buffers, length)
+    return _take_with_validity(values, buffers, length, int(meta["n_dict"]))
 
 
 def decode_local(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.DataType,
                  ctx: dict) -> pa.Array:
     n = int(meta["n_dict"])
-    offsets = np.frombuffer(buffers["dict_offsets"], dtype=np.int32)
+    large = pa.types.is_large_string(dtype) or pa.types.is_large_binary(dtype)
+    odt = np.int64 if large else np.int32
+    storage_t = dtype if (pa.types.is_string(dtype) or pa.types.is_large_string(dtype)
+                          or pa.types.is_binary(dtype) or pa.types.is_large_binary(dtype)) else pa.string()
+    offsets = np.frombuffer(buffers["dict_offsets"], dtype=odt)
     data = buffers.get("dict_data", b"")
     values = pa.Array.from_buffers(
-        pa.string(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)], 0
+        storage_t, n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)], 0
     )
     if values.type != dtype:
         values = values.cast(dtype)
-    return _take_with_validity(values, buffers, length)
+    return _take_with_validity(values, buffers, length, n)
 
 
 base.register("dict", encode_global, decode_global)

@@ -24,20 +24,27 @@ _MASK64 = 0xFFFFFFFFFFFFFFFF
 
 
 def _int64_values(arr: pa.Array) -> np.ndarray:
-    """Exact int64 view with null slots = 0 (no float round-trip)."""
+    """Exact int64 bit view with null slots = 0 (no float round-trip;
+    uint64 above 2^63 preserved by reinterpretation, wrapping math below)."""
     storage = arr
     t = arr.type
-    if pa.types.is_timestamp(t) or pa.types.is_date(t):
-        storage = arr.cast(pa.int64() if not pa.types.is_date32(t) else pa.int32())
+    if pa.types.is_timestamp(t) or pa.types.is_duration(t) or pa.types.is_time64(t) or pa.types.is_date64(t):
+        storage = arr.cast(pa.int64())
+    elif pa.types.is_date32(t) or pa.types.is_time32(t):
+        storage = arr.cast(pa.int32())
     if storage.null_count:
         storage = storage.fill_null(0)
-    v = storage.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if pa.types.is_unsigned_integer(storage.type):
+        v = storage.to_numpy(zero_copy_only=False).astype(np.uint64).view(np.int64)
+    else:
+        v = storage.cast(pa.int64()).to_numpy(zero_copy_only=False)
     return np.ascontiguousarray(v, dtype=np.int64)
 
 
 def applicable(t: pa.DataType) -> bool:
     return (
         pa.types.is_integer(t) or pa.types.is_timestamp(t) or pa.types.is_date(t)
+        or pa.types.is_duration(t) or pa.types.is_time(t)
     )
 
 
@@ -82,10 +89,15 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
 
 
 def _cast_back(v: np.ndarray, dtype: pa.DataType, valid: np.ndarray | None) -> pa.Array:
-    if pa.types.is_timestamp(dtype):
+    if (pa.types.is_timestamp(dtype) or pa.types.is_duration(dtype)
+            or pa.types.is_time64(dtype) or pa.types.is_date64(dtype)):
         out = pa.array(v).cast(dtype)
-    elif pa.types.is_date32(dtype):
+    elif pa.types.is_date32(dtype) or pa.types.is_time32(dtype):
         out = pa.array(v.astype(np.int32)).cast(dtype)
+    elif pa.types.is_unsigned_integer(dtype):
+        np_dt = {"uint8": np.uint8, "uint16": np.uint16, "uint32": np.uint32,
+                 "uint64": np.uint64}[str(dtype)]
+        out = pa.array(v.view(np.uint64).astype(np_dt), type=dtype)
     else:
         np_dt = {"int8": np.int8, "int16": np.int16, "int32": np.int32, "int64": np.int64}[str(dtype)]
         out = pa.array(v.astype(np_dt), type=dtype)

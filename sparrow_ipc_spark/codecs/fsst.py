@@ -197,7 +197,7 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
         data = b""
     else:
         offs = np.frombuffer(ab[1], dtype=odt, count=n + 1)
-        data = ab[2].to_pybytes()[: int(offs[-1])] if ab[2] is not None else b""
+        data = ab[2].slice(0, int(offs[-1])).to_pybytes() if ab[2] is not None else b""
     # iterated digram passes (Re-Pair/BPE-style): pass k's digrams expand
     # to up to 2^k source bytes, so 2 passes ≈ 4-byte symbols.  Keep a pass
     # only if it actually shrinks the stream; lengths recorded per pass so

@@ -1,12 +1,14 @@
-"""List-of-primitive codec (embeddings: array<float>) + float byte-shuffle.
+"""Container codecs: general recursive list/large_list/map (``list``),
+fixed-size list (``fixed_list``), the legacy list-of-primitive codec
+(``list_prim``), and float byte-shuffle.
 
-List layout per the reference's list kernel
-(/root/reference/include/sparrow_ipc/array_deserializer.hpp:102-229):
-validity + int32 offsets + recursively the child buffers; child length =
-offsets[-1].  Child float data is byte-shuffled (bytes of each value
-transposed into per-byte planes) before the general compression stage —
-exponent/sign planes are highly compressible even when mantissas are not
-(the classic byte-stream-split encoding from Parquet, public spec).
+Layouts per the reference's recursive container kernels
+(/root/reference/include/sparrow_ipc/array_deserializer.hpp:102-229 lists,
+/root/reference/src/array_deserializer.cpp:293-387 fixed-size list,
+:512-516 map): validity + offsets + recursively the child buffers; the
+child gets the full codec auto-selection (a map<string,string>'s keys child
+typically dictionary-encodes; an array<float> child byte-shuffles).  Child
+float data byte-shuffle = byte-stream-split from the public Parquet spec.
 """
 
 from __future__ import annotations
@@ -14,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from sparrow_ipc_spark.codecs import base
+from sparrow_ipc_spark.codecs import base, forbp
 
 _CHILD_DTYPES = {
     "float": (np.float32, pa.float32()),
@@ -64,7 +66,11 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
         child = pa.array([], type=arr.type.value_type)
     else:
         offsets = np.frombuffer(ab[1], dtype=np.int32, count=n + 1).copy()
-        child = arr.flatten()
+        # arr.values keeps child slots spanned by null list entries (flatten()
+        # would drop them and desync the stored offsets); rebase to offsets[0]
+        child = arr.values.slice(int(offsets[0]), int(offsets[-1] - offsets[0]))
+        if offsets[0]:
+            offsets = offsets - offsets[0]
     bufs.append(("offsets", offsets.tobytes()))
     cvb = base.validity_bytes(child)
     if cvb is not None:
@@ -105,6 +111,195 @@ def decode(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.DataTyp
 
 
 base.register("list_prim", encode, decode)
+
+
+# ---------------------------------------------------------------------------
+# General recursive list / large_list / map codec
+# ---------------------------------------------------------------------------
+
+def list_like(t: pa.DataType) -> bool:
+    """Variable-length list layouts (map IS a list<entries struct> in Arrow,
+    reference map kernel: /root/reference/src/array_deserializer.cpp:512-516)."""
+    return pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_map(t)
+
+
+def _canonical_offsets_child(arr: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """(int64 offsets starting at 0, child array) with null slots compacted
+    to zero extent — encoded bytes must be a pure function of logical content
+    (Spark task retries), so child values spanned by null slots are dropped."""
+    n = len(arr)
+    odt = np.int64 if pa.types.is_large_list(arr.type) else np.int32
+    ab = arr.buffers()
+    if ab[1] is None or n == 0:
+        return np.zeros(1, dtype=np.int64), arr.values.slice(0, 0)
+    off = np.frombuffer(ab[1], dtype=odt, count=n + 1).astype(np.int64)
+    lens = np.diff(off)
+    if arr.null_count:
+        valid = np.logical_not(arr.is_null().to_numpy(zero_copy_only=False))
+        lens_c = np.where(valid, lens, 0)
+    else:
+        lens_c = lens
+    new_off = np.concatenate(([0], np.cumsum(lens_c, dtype=np.int64)))
+    if np.array_equal(lens_c, lens):
+        return new_off, arr.values.slice(int(off[0]), int(off[-1] - off[0]))
+    rep = np.repeat(off[:-1] - new_off[:-1], lens_c)
+    take_idx = np.arange(int(new_off[-1]), dtype=np.int64) + rep
+    return new_off, arr.values.take(pa.array(take_idx, type=pa.int64()))
+
+
+def _encode_child(child: pa.Array, ctx: dict) -> base.EncodedColumn:
+    from sparrow_ipc_spark.codecs import selector
+
+    if child.offset != 0:  # nested buffer math assumes offset 0
+        child = child.take(pa.array(np.arange(len(child), dtype=np.int64)))
+    return selector.select_unframed(
+        child, {**ctx, "col_name": f"{ctx.get('col_name', '')}.item"}
+    )
+
+
+def encode_list(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
+    if not list_like(arr.type):
+        return None
+    new_off, child = _canonical_offsets_child(arr)
+    enc_child = _encode_child(child, ctx)
+    bufs: list[tuple[str, bytes]] = []
+    vb = base.validity_bytes(arr)
+    if vb is not None:
+        bufs.append(("validity", vb))
+    # offsets are monotonic → delta + byte-pack, same as the string codecs
+    offs_enc = forbp.encode(pa.array(new_off), {"delta": True})
+    for kind, b in offs_enc.buffers:
+        bufs.append((f"o_{kind}", b))
+    for kind, b in enc_child.buffers:
+        bufs.append((f"ch_{kind}", b))
+    meta = {
+        "offsets_meta": offs_enc.meta,
+        "n_child": len(child),
+        "child_logical": base.logical_str(child.type),
+        "child_codec": enc_child.codec,
+        "child_meta": enc_child.meta,
+    }
+    return base.EncodedColumn(codec="list", meta=meta, buffers=bufs)
+
+
+def decode_list(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.DataType,
+                ctx: dict) -> pa.Array:
+    n_child = int(meta["n_child"])
+    o_bufs = {k[2:]: v for k, v in buffers.items() if k.startswith("o_")}
+    ch_bufs = {k[3:]: v for k, v in buffers.items() if k.startswith("ch_")}
+    offs64 = base.decode_column(
+        "for_bitpack", meta["offsets_meta"], o_bufs, length + 1, pa.int64(), ctx
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    child_t = base.dtype_from_logical(meta["child_logical"])
+    child = base.decode_column(meta["child_codec"], meta["child_meta"], ch_bufs,
+                               n_child, child_t, ctx)
+    valid = base.validity_from_bytes(buffers.get("validity"), length)
+    null_count = 0 if valid is None else int(length - valid.sum())
+    vbuf = None if valid is None else pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+    if pa.types.is_map(dtype):
+        entries_t = pa.struct([
+            pa.field("key", dtype.key_type, nullable=False),
+            pa.field("value", dtype.item_type),
+        ])
+        entries = pa.StructArray.from_arrays(
+            [child.field(0).cast(dtype.key_type), child.field(1).cast(dtype.item_type)],
+            fields=list(entries_t),
+        )
+        off_buf = pa.py_buffer(offs64.astype(np.int32).tobytes())
+        return pa.Array.from_buffers(dtype, length, [vbuf, off_buf], null_count,
+                                     children=[entries])
+    odt = np.int64 if pa.types.is_large_list(dtype) else np.int32
+    if child.type != dtype.value_type:
+        child = child.cast(dtype.value_type)
+    off_buf = pa.py_buffer(offs64.astype(odt).tobytes())
+    return pa.Array.from_buffers(dtype, length, [vbuf, off_buf], null_count,
+                                 children=[child])
+
+
+base.register("list", encode_list, decode_list)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size list codec (no offsets buffer — fixed-dim embeddings)
+# ---------------------------------------------------------------------------
+
+def fixed_applicable(arr: pa.Array) -> int:
+    """Return the fixed size k (> 0) if arr can use the fixed-size layout,
+    else 0.  True FSL types always qualify; variable lists qualify when
+    null-free with uniform lengths (the dominant embeddings shape — the
+    reference's fixed-size-list kernel, array_deserializer.cpp:293-387)."""
+    t = arr.type
+    if pa.types.is_fixed_size_list(t):
+        return int(t.list_size)
+    if not (pa.types.is_list(t) or pa.types.is_large_list(t)):
+        return 0
+    n = len(arr)
+    if n == 0 or arr.null_count:
+        return 0
+    ab = arr.buffers()
+    if ab[1] is None:
+        return 0
+    odt = np.int64 if pa.types.is_large_list(t) else np.int32
+    off = np.frombuffer(ab[1], dtype=odt, count=n + 1)
+    lens = np.diff(off)
+    k = int(lens[0])
+    return k if (k > 0 and bool((lens == k).all())) else 0
+
+
+def encode_fixed(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
+    import pyarrow.compute as pc
+
+    k = fixed_applicable(arr)
+    if k == 0:
+        return None
+    n = len(arr)
+    bufs: list[tuple[str, bytes]] = []
+    vb = base.validity_bytes(arr)
+    if vb is not None:
+        bufs.append(("validity", vb))
+    if pa.types.is_fixed_size_list(arr.type):
+        child = arr.values.slice(arr.offset * k, n * k)
+        if arr.null_count:
+            # canonicalize child slots under null list entries (determinism)
+            valid = np.logical_not(arr.is_null().to_numpy(zero_copy_only=False))
+            child = pc.if_else(pa.array(np.repeat(valid, k)), child,
+                               pa.scalar(None, type=child.type))
+    else:
+        _, child = _canonical_offsets_child(arr)
+    enc_child = _encode_child(child, ctx)
+    for kind, b in enc_child.buffers:
+        bufs.append((f"ch_{kind}", b))
+    meta = {
+        "k": k,
+        "n_child": n * k,
+        "child_logical": base.logical_str(child.type),
+        "child_codec": enc_child.codec,
+        "child_meta": enc_child.meta,
+    }
+    return base.EncodedColumn(codec="fixed_list", meta=meta, buffers=bufs)
+
+
+def decode_fixed(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.DataType,
+                 ctx: dict) -> pa.Array:
+    k = int(meta["k"])
+    n_child = int(meta["n_child"])
+    ch_bufs = {k2[3:]: v for k2, v in buffers.items() if k2.startswith("ch_")}
+    child_t = base.dtype_from_logical(meta["child_logical"])
+    child = base.decode_column(meta["child_codec"], meta["child_meta"], ch_bufs,
+                               n_child, child_t, ctx)
+    valid = base.validity_from_bytes(buffers.get("validity"), length)
+    if pa.types.is_fixed_size_list(dtype):
+        if child.type != dtype.value_type:
+            child = child.cast(dtype.value_type)
+        null_count = 0 if valid is None else int(length - valid.sum())
+        vbuf = None if valid is None else pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+        return pa.Array.from_buffers(dtype, length, [vbuf], null_count, children=[child])
+    # variable-list logical type stored fixed (null-free by applicability)
+    fsl = pa.FixedSizeListArray.from_arrays(child, k)
+    return fsl.cast(dtype)
+
+
+base.register("fixed_list", encode_fixed, decode_fixed)
 
 
 # ---------------------------------------------------------------------------

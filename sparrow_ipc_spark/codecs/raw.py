@@ -36,7 +36,7 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
         else:
             odt = np.int64 if w == 8 else np.int32
             offs = np.frombuffer(ab[1], dtype=odt, count=n + 1)
-            data = ab[2].to_pybytes()[: int(offs[-1])] if ab[2] is not None else b""
+            data = ab[2].slice(0, int(offs[-1])).to_pybytes() if ab[2] is not None else b""
         # offsets are monotonic → delta + byte-pack (string lengths are
         # small ints); ~4× smaller than plain int32 even after zstd
         from sparrow_ipc_spark.codecs import forbp
@@ -47,11 +47,31 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
         meta = {"offsets_meta": offs_enc.meta}
         bufs.append(("data", data))
         return base.EncodedColumn(codec="raw", meta=meta, buffers=bufs)
+    elif pa.types.is_fixed_size_binary(t):
+        # record + enforce the width invariant (reference `w:n` format,
+        # /root/reference/src/flatbuffer_utils.cpp:424-441)
+        w = t.byte_width
+        ab = arr.buffers()
+        raw_data = ab[1]
+        if raw_data is None or n == 0:
+            data = b""
+        else:
+            v = np.frombuffer(raw_data, dtype=np.uint8, count=(arr.offset + n) * w)
+            v = v[arr.offset * w :].reshape(n, w).copy()
+            if arr.null_count:  # canonicalize null slots to 0 (determinism)
+                valid = np.logical_not(arr.is_null().to_numpy(zero_copy_only=False))
+                v[~valid] = 0
+            data = v.tobytes()
+        if len(data) != n * w:
+            raise ValueError(f"fixed_size_binary width invariant violated: "
+                             f"{len(data)} bytes != {n} * {w}")
+        bufs.append(("data", data))
+        return base.EncodedColumn(codec="raw", meta={"w": w}, buffers=bufs)
     elif pa.types.is_decimal(t):
         filled = arr.fill_null(0) if arr.null_count else arr
         ab = filled.buffers()
         width = t.bit_width // 8
-        data = ab[1].to_pybytes()[: n * width] if ab[1] is not None else b""
+        data = ab[1].slice(0, n * width).to_pybytes() if ab[1] is not None else b""
         bufs.append(("data", data))
     elif pa.types.is_boolean(t):
         filled = arr.fill_null(False) if arr.null_count else arr
@@ -72,13 +92,15 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
 
 
 def _is_temporal(t: pa.DataType) -> bool:
-    return pa.types.is_timestamp(t) or pa.types.is_date(t)
+    return (pa.types.is_timestamp(t) or pa.types.is_date(t)
+            or pa.types.is_duration(t) or pa.types.is_time(t))
 
 
 def _storage_int(t: pa.DataType) -> pa.DataType:
-    if pa.types.is_timestamp(t):
+    if (pa.types.is_timestamp(t) or pa.types.is_duration(t)
+            or pa.types.is_time64(t) or pa.types.is_date64(t)):
         return pa.int64()
-    if pa.types.is_date32(t):
+    if pa.types.is_date32(t) or pa.types.is_time32(t):
         return pa.int32()
     return t
 
@@ -91,6 +113,7 @@ def _zero_scalar(t: pa.DataType):
 
 _NP_DTYPE = {
     "int8": np.int8, "int16": np.int16, "int32": np.int32, "int64": np.int64,
+    "uint8": np.uint8, "uint16": np.uint16, "uint32": np.uint32, "uint64": np.uint64,
     "float": np.float32, "double": np.float64,
     "date32[day]": np.int32,
 }
@@ -117,6 +140,17 @@ def decode(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.DataTyp
         return pa.Array.from_buffers(
             t, length, [vbuf, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)], null_count
         )
+    if pa.types.is_fixed_size_binary(t):
+        w = int(meta.get("w", t.byte_width))
+        data = buffers.get("data", b"")
+        if w != t.byte_width or len(data) != length * w:
+            raise ValueError(
+                f"fixed_size_binary width invariant violated on decode: stored w={w}, "
+                f"type w={t.byte_width}, {len(data)} bytes for {length} rows"
+            )
+        null_count = 0 if valid is None else int(length - valid.sum())
+        vbuf = None if valid is None else pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+        return pa.Array.from_buffers(t, length, [vbuf, pa.py_buffer(data)], null_count)
     if pa.types.is_decimal(t):
         null_count = 0 if valid is None else int(length - valid.sum())
         vbuf = None if valid is None else pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
@@ -128,10 +162,11 @@ def decode(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.DataTyp
             np.frombuffer(buffers["data"], dtype=np.uint8), count=length, bitorder="little"
         ).astype(bool)
         return base.rebuild_with_validity(pa.array(bits, type=pa.bool_()), valid)
-    if pa.types.is_timestamp(t):
+    if (pa.types.is_timestamp(t) or pa.types.is_duration(t)
+            or pa.types.is_time64(t) or pa.types.is_date64(t)):
         v = np.frombuffer(buffers["data"], dtype=np.int64, count=length)
         return base.rebuild_with_validity(pa.array(v).cast(t), valid)
-    if pa.types.is_date32(t):
+    if pa.types.is_date32(t) or pa.types.is_time32(t):
         v = np.frombuffer(buffers["data"], dtype=np.int32, count=length)
         return base.rebuild_with_validity(pa.array(v).cast(t), valid)
     npdt = _NP_DTYPE.get(str(t))

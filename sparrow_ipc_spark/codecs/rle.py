@@ -15,8 +15,8 @@ strictly increasing, so deltas are the run lengths — small ints).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from sparrow_ipc_spark.codecs import base, forbp, raw
 
@@ -26,13 +26,29 @@ def applicable(t: pa.DataType) -> bool:
         pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t)
         or pa.types.is_integer(t) or pa.types.is_boolean(t)
         or pa.types.is_timestamp(t) or pa.types.is_date(t)
+        or pa.types.is_duration(t) or pa.types.is_time(t)
     )
 
 
 def run_bounds(arr: pa.Array) -> np.ndarray:
-    """Start indices of runs (nulls count as a distinct value)."""
-    codes, _ = pd.factorize(arr.to_pandas(), use_na_sentinel=True)
-    change = np.nonzero(codes[1:] != codes[:-1])[0] + 1
+    """Start indices of runs (nulls count as a distinct value).
+
+    Arrow shifted self-compare — no Python-object materialization (the old
+    ``pd.factorize`` path boxed every string and dominated the selector's
+    stats pass).  Null-aware: two adjacent nulls are the same run; a null
+    next to a non-null is a boundary."""
+    n = len(arr)
+    if n <= 1:
+        return np.zeros(min(n, 1), dtype=np.int64)
+    a, b = arr.slice(1), arr.slice(0, n - 1)
+    neq = pc.fill_null(pc.not_equal(a, b), True).to_numpy(zero_copy_only=False)
+    if arr.null_count:
+        nulls = arr.is_null().to_numpy(zero_copy_only=False)
+        both_null = nulls[1:] & nulls[:-1]
+        change_mask = np.asarray(neq, bool) & ~both_null
+    else:
+        change_mask = np.asarray(neq, bool)
+    change = np.nonzero(change_mask)[0] + 1
     return np.concatenate(([0], change))
 
 

@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from sparrow_ipc_spark.codecs import base, listcodec, rle, structcodec
+from sparrow_ipc_spark.codecs import base, forbp, listcodec, rle, structcodec
 
 # gates (tuned on the synthetic transcript distributions; conservative —
 # the exact argmin downstream corrects any shortlist mistake except a
@@ -44,18 +44,34 @@ class ColumnChoice:
     enc_bytes: int
 
 
+def _data_bytes(arr: pa.Array) -> int:
+    """UTF-8/binary payload bytes of a (large_)string/binary array."""
+    n = len(arr)
+    ab = arr.buffers()
+    if not ab[1] or not n:
+        return 0
+    odt = np.int64 if (pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)) else np.int32
+    return int(np.frombuffer(ab[1], odt, count=n + 1)[-1])
+
+
 def _raw_size(arr: pa.Array) -> int:
     t = arr.type
     n = len(arr)
     if pa.types.is_string(t) or pa.types.is_binary(t):
-        ab = arr.buffers()
-        data = int(np.frombuffer(ab[1], np.int32, count=n + 1)[-1]) if (ab[1] and n) else 0
-        return data + 4 * (n + 1)
+        return _data_bytes(arr) + 4 * (n + 1)
+    if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        return _data_bytes(arr) + 8 * (n + 1)
+    if pa.types.is_fixed_size_binary(t):
+        return n * t.byte_width
     if pa.types.is_boolean(t):
         return (n + 7) // 8
-    if pa.types.is_list(t):
-        child = arr.flatten()
-        return 4 * (n + 1) + len(child) * max(1, child.type.bit_width // 8)
+    if pa.types.is_fixed_size_list(t):
+        return _raw_size(arr.values) + (n + 7) // 8
+    if pa.types.is_map(t):
+        return 4 * (n + 1) + _raw_size(arr.keys) + _raw_size(arr.items)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        w = 8 if pa.types.is_large_list(t) else 4
+        return w * (n + 1) + _raw_size(arr.values)
     if pa.types.is_struct(t):
         return sum(_raw_size(arr.field(i)) for i in range(t.num_fields)) + (n + 7) // 8
     return n * max(1, t.bit_width // 8)
@@ -66,6 +82,19 @@ def candidates_for(arr: pa.Array, ctx: dict) -> list[tuple[str, dict]]:
     t = arr.type
     n = len(arr)
     cands: list[tuple[str, dict]] = [("raw", {})]
+    # container types first: raw passthrough cannot express nested layouts,
+    # so they route to their codec even when empty
+    if pa.types.is_fixed_size_list(t):
+        return [("fixed_list", {})]
+    if listcodec.list_like(t):
+        lcands: list[tuple[str, dict]] = []
+        if n and listcodec.fixed_applicable(arr):
+            # first so equal-size ties keep the offset-free layout
+            lcands.append(("fixed_list", {}))
+        lcands.append(("list", {}))
+        return lcands
+    if structcodec.applicable(t):
+        return [("struct", {})]
     if n == 0:
         return cands
     if pa.types.is_string(t) or pa.types.is_large_string(t):
@@ -76,12 +105,13 @@ def candidates_for(arr: pa.Array, ctx: dict) -> list[tuple[str, dict]]:
             cands.append(("dict" if ctx.get("col_name") in gd else "dict_local", {}))
         if mean_run >= RLE_MIN_MEAN_RUN:
             cands.append(("rle", {}))
-        total_len = _raw_size(arr) - 4 * (n + 1)
+        total_len = _data_bytes(arr)
         if n and total_len / n >= FSST_MIN_AVG_LEN and distinct > 64:
             cands.append(("fsst", {}))
-    elif pa.types.is_integer(t) or pa.types.is_timestamp(t) or pa.types.is_date(t):
+    elif (pa.types.is_integer(t) or pa.types.is_timestamp(t) or pa.types.is_date(t)
+          or pa.types.is_duration(t) or pa.types.is_time(t)):
         v = arr.fill_null(0) if arr.null_count else arr
-        npv = v.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        npv = forbp._int64_values(v)
         if n > 1:
             d = np.diff(npv)
             mono = float((d >= 0).mean())
@@ -95,13 +125,24 @@ def candidates_for(arr: pa.Array, ctx: dict) -> list[tuple[str, dict]]:
         cands.append(("rle", {}))
     elif pa.types.is_floating(t):
         cands.append(("float_shuffle", {}))
-    elif listcodec.applicable(t):
-        # raw passthrough cannot express nested layouts; list_prim is the
-        # canonical encoding (its buffers still go through the zstd stage)
-        return [("list_prim", {})]
-    elif structcodec.applicable(t):
-        return [("struct", {})]
     return cands
+
+
+def select_unframed(arr: pa.Array, ctx: dict) -> base.EncodedColumn:
+    """Codec choice by pre-compression payload size, for NESTED children
+    (struct fields, list/map children).  The general zstd stage runs once at
+    the top level, so nested framing would double-compress — the
+    CompressionCache lesson (/root/reference/src/compression.cpp:33-125)."""
+    best: base.EncodedColumn | None = None
+    cands = candidates_for(arr, ctx)
+    if any(c == "fsst" for c, _ in cands) and not _fsst_sample_gate(arr):
+        cands = [(c, e) for c, e in cands if c != "fsst"]
+    for codec, extra in cands:
+        enc = base.encode_column(codec, arr, {**ctx, **extra})
+        if enc is not None and (best is None or enc.payload_bytes < best.payload_bytes):
+            best = enc
+    assert best is not None
+    return best
 
 
 def frame_buffers(enc: base.EncodedColumn) -> list[tuple[str, str, bytes]]:
@@ -128,7 +169,7 @@ def _fsst_sample_gate(arr: pa.Array) -> bool:
     bufs = arr.buffers()
     if bufs[2] is None:
         return False
-    sample = bufs[2].to_pybytes()[:FSST_SAMPLE]
+    sample = bufs[2].slice(0, min(len(bufs[2]), FSST_SAMPLE)).to_pybytes()
     if len(sample) < 4096:
         return True  # tiny: full trial is cheap, let argmin decide
     # mirror the codec's multi-pass encode exactly, else the gate rejects

@@ -22,24 +22,6 @@ def applicable(t: pa.DataType) -> bool:
     return pa.types.is_struct(t)
 
 
-def _select_unframed(arr: pa.Array, ctx: dict) -> base.EncodedColumn:
-    """Child codec choice by pre-compression payload size (the general
-    zstd stage runs once at the top level, so nested framing would
-    double-compress — the CompressionCache lesson, compression.cpp:33-125)."""
-    from sparrow_ipc_spark.codecs import selector
-
-    best: base.EncodedColumn | None = None
-    cands = selector.candidates_for(arr, ctx)
-    if any(c == "fsst" for c, _ in cands) and not selector._fsst_sample_gate(arr):
-        cands = [(c, e) for c, e in cands if c != "fsst"]
-    for codec, extra in cands:
-        enc = base.encode_column(codec, arr, {**ctx, **extra})
-        if enc is not None and (best is None or enc.payload_bytes < best.payload_bytes):
-            best = enc
-    assert best is not None
-    return best
-
-
 def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
     if not applicable(arr.type):
         return None
@@ -51,14 +33,18 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
     for i in range(arr.type.num_fields):
         field = arr.type.field(i)
         child = arr.field(i)
+        from sparrow_ipc_spark.codecs import selector
+
         # struct-null slots: child values under a null struct are masked on
         # decode; flatten() keeps them but field() preserves raw child —
         # canonicalize via combine to zero-offset
-        enc = _select_unframed(child, {**ctx, "col_name": f"{ctx.get('col_name', '')}.{field.name}"})
+        enc = selector.select_unframed(
+            child, {**ctx, "col_name": f"{ctx.get('col_name', '')}.{field.name}"}
+        )
         children_meta.append(
             {
                 "name": field.name,
-                "logical": str(field.type),
+                "logical": base.logical_str(field.type),
                 "codec": enc.codec,
                 "meta": enc.meta,
             }

@@ -49,7 +49,7 @@ TRANSCRIPT_FIELDS = [
 ]
 
 # Spark SQL type → engine logical type (the format-string switch analog,
-# /root/reference/src/flatbuffer_utils.cpp:86-447)
+# /root/reference/src/flatbuffer_utils.cpp:86-447).  Container types recurse.
 _SPARK_TO_LOGICAL = {
     "string": "string",
     "binary": "binary",
@@ -63,32 +63,41 @@ _SPARK_TO_LOGICAL = {
     "date": "date32[day]",
     "timestamp": "timestamp[us]",
     "timestamp_ntz": "timestamp[us]",
-    "array<float>": "list<float>",
-    "array<double>": "list<double>",
-    "array<int>": "list<int32>",
-    "array<bigint>": "list<int64>",
 }
+
+# _SPARK_TO_LOGICAL emits float32/float64; the pa-side names are float/double
+_PA_NAME = {"float32": "float", "float64": "double"}
+
+
+def _logical_of_spark(dt) -> str:
+    import pyspark.sql.types as T
+
+    s = dt.simpleString()
+    if s in _SPARK_TO_LOGICAL:
+        return _SPARK_TO_LOGICAL[s]
+    if isinstance(dt, T.ArrayType):
+        child = _logical_of_spark(dt.elementType)
+        return f"list<{_PA_NAME.get(child, child)}>"
+    if isinstance(dt, T.MapType):
+        k = _logical_of_spark(dt.keyType)
+        v = _logical_of_spark(dt.valueType)
+        return f"map<{_PA_NAME.get(k, k)}, {_PA_NAME.get(v, v)}>"
+    if isinstance(dt, T.DayTimeIntervalType):
+        # Spark's own Arrow conversion maps every day-time interval to
+        # duration[us]; YearMonthIntervalType is rejected by Spark's Arrow
+        # path entirely (UNSUPPORTED_DATA_TYPE_FOR_ARROW_CONVERSION) — N/A.
+        return "duration[us]"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal128({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(f"{c.name}: {_logical_of_spark(c.dataType)}" for c in dt.fields)
+        return f"struct<{inner}>"
+    raise ValueError(f"unsupported column type for encode: {s}")
 
 
 def infer_fields(df: DataFrame) -> list[tuple[str, str]]:
     """(name, logical_type) per column; raises on unsupported types."""
-    import pyspark.sql.types as T
-
-    def logical_of(dt) -> str:
-        s = dt.simpleString()
-        if s in _SPARK_TO_LOGICAL:
-            return _SPARK_TO_LOGICAL[s]
-        if isinstance(dt, T.DecimalType):
-            return f"decimal128({dt.precision}, {dt.scale})"
-        if isinstance(dt, T.StructType):
-            inner = ", ".join(f"{c.name}: {logical_of(c.dataType)}" for c in dt.fields)
-            return f"struct<{inner}>"
-        raise ValueError(f"unsupported column type for encode: {s}")
-
-    fields = []
-    for f in df.schema.fields:
-        fields.append((f.name, logical_of(f.dataType)))
-    return fields
+    return [(f.name, _logical_of_spark(f.dataType)) for f in df.schema.fields]
 
 
 def spark_schema_for(fields: list[tuple[str, str]]):
@@ -98,21 +107,26 @@ def spark_schema_for(fields: list[tuple[str, str]]):
     inv = {
         "string": T.StringType(), "binary": T.BinaryType(), "int8": T.ByteType(),
         "int16": T.ShortType(), "int32": T.IntegerType(), "int64": T.LongType(),
-        "float32": T.FloatType(), "float64": T.DoubleType(), "bool": T.BooleanType(),
+        "float": T.FloatType(), "float32": T.FloatType(),
+        "double": T.DoubleType(), "float64": T.DoubleType(), "bool": T.BooleanType(),
         "date32[day]": T.DateType(), "timestamp[us]": T.TimestampType(),
-        "list<float>": T.ArrayType(T.FloatType()), "list<double>": T.ArrayType(T.DoubleType()),
-        "list<int32>": T.ArrayType(T.IntegerType()), "list<int64>": T.ArrayType(T.LongType()),
+        "duration[us]": T.DayTimeIntervalType(),
     }
 
     def spark_type_of(logical: str):
+        from sparrow_ipc_spark.codecs.base import split_top_level
+
         if logical in inv:
             return inv[logical]
+        if logical.startswith("list<") and logical.endswith(">"):
+            return T.ArrayType(spark_type_of(logical[5:-1]))
+        if logical.startswith("map<") and logical.endswith(">"):
+            kt, vt = split_top_level(logical[4:-1])
+            return T.MapType(spark_type_of(kt), spark_type_of(vt))
         if logical.startswith("decimal128("):
             p, sc = [int(x) for x in logical[11:-1].split(",")]
             return T.DecimalType(p, sc)
         if logical.startswith("struct<"):
-            from sparrow_ipc_spark.codecs.base import split_top_level
-
             subs = []
             for part in split_top_level(logical[7:-1]):
                 nm, tp = part.split(": ", 1)
@@ -156,7 +170,8 @@ def dict_row_for_values(col: str, vals: list[str], version: int, is_delta: bool)
         np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(arr) + 1)
         if len(arr) else np.zeros(1, np.int32)
     )
-    data = arr.buffers()[2].to_pybytes()[: int(offs[-1])] if len(arr) and arr.buffers()[2] else b""
+    data = (arr.buffers()[2].slice(0, int(offs[-1])).to_pybytes()
+            if len(arr) and arr.buffers()[2] else b"")
     return {
         "dict_id": dict_id_for(col),
         "col_name": col,

@@ -23,9 +23,42 @@ def test_any_table_roundtrip(spark, table):
 
 
 def test_unsupported_type_rejected(spark):
-    df = spark.createDataFrame([({"a": 1},)], "m map<string,int>")
+    # YearMonthIntervalType is the one genuinely unsupported surface type:
+    # Spark's own Arrow conversion rejects it, so encode must refuse it early
+    import pyspark.sql.types as T
+
+    from sparrow_ipc_spark.operators.encode_job import _logical_of_spark
+
     with pytest.raises(ValueError, match="unsupported column type"):
-        infer_fields(df)
+        _logical_of_spark(T.YearMonthIntervalType())
+
+
+def test_map_nested_interval_roundtrip(spark):
+    """Spark-surface containers: map metadata, array<struct> tool calls,
+    array<array<float>>, day-time interval — the transcript-table shapes the
+    reference decodes via its recursive kernels."""
+    import datetime as dt
+
+    rows = []
+    for i in range(200):
+        rows.append((
+            i,
+            {"model": f"m{i % 3}", "lang": "en" if i % 2 else "fr"} if i % 7 else None,
+            [{"tool": f"t{i % 5}", "ok": bool(i % 2)}] * (i % 3),
+            [[float(i), float(i + 1)], [float(i * 2)]] if i % 4 else None,
+            dt.timedelta(seconds=i * 13, microseconds=i) if i % 5 else None,
+        ))
+    df = spark.createDataFrame(
+        rows,
+        "id long, meta map<string,string>, calls array<struct<tool:string, ok:boolean>>, "
+        "mat array<array<float>>, dur interval day to second",
+    )
+    fields = infer_fields(df)
+    blocks_df, dr, _ = encode_table(spark, df)
+    dec = decode_blocks(spark, blocks_df, dr, schema=spark_schema_for(fields))
+    src = {tuple(str(sorted(x.items()) if isinstance(x, dict) else x) for x in r) for r in df.collect()}
+    out = {tuple(str(sorted(x.items()) if isinstance(x, dict) else x) for x in r) for r in dec.collect()}
+    assert src == out
 
 
 def test_checksum_detects_corruption(spark, tmp_path_factory):
