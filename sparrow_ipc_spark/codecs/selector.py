@@ -154,6 +154,45 @@ def frame_buffers(enc: base.EncodedColumn) -> list[tuple[str, str, bytes]]:
     return out
 
 
+PROBE_LIMIT = 128 * 1024
+
+
+def _probe_framed_size(payload: bytes) -> tuple[int, tuple[str, bytes] | None, str]:
+    """(estimated framed size, exact (codec, framed) when cheap, codec hint).
+
+    Buffers up to PROBE_LIMIT are compressed exactly (and the result reused
+    for the winner).  Larger buffers are estimated from their first 128 KB —
+    compressing every candidate's multi-MB buffers fully was ~46% of encode
+    CPU while only the winner's bytes are ever kept; the sample also picks
+    the general codec, so the winner is compressed exactly once.  Estimates
+    are a pure function of chunk content, so codec selection stays
+    deterministic across task retries."""
+    n = len(payload)
+    if n <= PROBE_LIMIT:
+        codec, framed = base.compress_buffer(payload)
+        return len(framed), (codec, framed), codec
+    sample = payload[:PROBE_LIMIT]
+    best, hint = n + 8, "none"
+    for name in base.GENERAL_CODECS:
+        comp = base._PA_CODECS[name].compress(sample, asbytes=True)
+        est = int(len(comp) * (n / len(sample))) + 8
+        if est < best:
+            best, hint = est, name
+    return best, None, hint
+
+
+def _compress_as(payload: bytes, name: str) -> tuple[str, bytes]:
+    """Compress with one chosen codec, keeping the never-inflate raw floor."""
+    if name == "none" or len(payload) < base.MIN_COMPRESS_LEN:
+        return "none", base.RAW_HEADER + payload
+    comp = base._PA_CODECS[name].compress(payload, asbytes=True)
+    if len(comp) + 8 >= len(payload) + 8:
+        return "none", base.RAW_HEADER + payload
+    import struct
+
+    return name, struct.pack("<q", len(payload)) + comp
+
+
 FSST_SAMPLE = 128 * 1024
 FSST_GATE_RATIO = 0.95
 
@@ -187,19 +226,30 @@ def _fsst_sample_gate(arr: pa.Array) -> bool:
 
 
 def select_and_encode(arr: pa.Array, ctx: dict) -> ColumnChoice:
-    """Encode the shortlist, pick the smallest total framed size."""
-    best: ColumnChoice | None = None
+    """Encode the shortlist, pick the smallest estimated framed size,
+    then run the general-compression stage on the winner only."""
     cands = candidates_for(arr, ctx)
     if any(c == "fsst" for c, _ in cands) and not _fsst_sample_gate(arr):
         cands = [(c, e) for c, e in cands if c != "fsst"]
+    best_enc: base.EncodedColumn | None = None
+    best_exact: list[tuple[tuple[str, bytes] | None, str]] | None = None
+    best_size = 0
     for codec, extra in cands:
         enc = base.encode_column(codec, arr, {**ctx, **extra})
         if enc is None:
             continue
-        framed = frame_buffers(enc)
-        size = sum(len(fb) for _, _, fb in framed)
-        if best is None or size < best.enc_bytes:
-            best = ColumnChoice(encoded=enc, framed=framed,
-                                raw_bytes=_raw_size(arr), enc_bytes=size)
-    assert best is not None
-    return best
+        size, exact = 0, []
+        for _kind, payload in enc.buffers:
+            est, ex, hint = _probe_framed_size(payload)
+            size += est
+            exact.append((ex, hint))
+        if best_enc is None or size < best_size:
+            best_enc, best_exact, best_size = enc, exact, size
+    assert best_enc is not None
+    framed: list[tuple[str, str, bytes]] = []
+    for (kind, payload), (ex, hint) in zip(best_enc.buffers, best_exact):
+        codec, fb = ex if ex is not None else _compress_as(payload, hint)
+        framed.append((kind, codec, fb))
+    enc_bytes = sum(len(fb) for _, _, fb in framed)
+    return ColumnChoice(encoded=best_enc, framed=framed,
+                        raw_bytes=_raw_size(arr), enc_bytes=enc_bytes)

@@ -198,9 +198,9 @@ def decode_block(row: dict, ctx: dict, columns: list[str] | None = None) -> pa.T
     deserialization_context.hpp:32-52, generalized to random access).
     """
     n = int(row["n_rows"])
-    body = row["body"]
+    body = row["body"]  # bytes or a zero-copy memoryview over the Arrow buffer
     if "body_crc32" in row and row["body_crc32"] is not None:
-        if zlib.crc32(bytes(body)) != int(row["body_crc32"]):
+        if zlib.crc32(body) != int(row["body_crc32"]):
             raise ValueError(
                 f"block (part={row.get('part_id')}, seq={row.get('batch_seq')}) "
                 "body checksum mismatch — corrupted block"

@@ -109,7 +109,16 @@ def decode_blocks(
         # pure-Arrow decode: block rows in, decoded record batches out
         ctx = {"dict_values": load_dict_values(bc.value)}
         for batch in batches:
-            for row in batch.to_pylist():  # one block row at a time (few per batch)
+            names = batch.schema.names
+            meta_cols = [n for n in names if n != "body"]
+            body_col = batch.column("body") if "body" in names else None
+            for i in range(batch.num_rows):
+                # metadata fields are tiny; the multi-MB body is handed over
+                # as a zero-copy Arrow buffer view instead of a Python bytes
+                # copy (decode_block slices only the framed spans it needs)
+                row = {n: batch.column(n)[i].as_py() for n in meta_cols}
+                if body_col is not None:
+                    row["body"] = memoryview(body_col[i].as_buffer())
                 tbl = blocks.decode_block(row, ctx, columns=columns)
                 tbl = tbl.cast(arrow_out)
                 yield from tbl.to_batches()
