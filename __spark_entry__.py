@@ -231,7 +231,7 @@ _SQL: dict[str, tuple[str, str]] = {
                  AS n_bpe_tokens
         FROM documents
         """,
-        """
+        r"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
                  AS n_bpe_tokens
@@ -283,6 +283,172 @@ _SQL: dict[str, tuple[str, str]] = {
         """,
     ),
 }
+
+
+# --- simhash (md5-hex variant): generated for both dialects ----------------
+
+def _simhash_sql(dialect: str) -> str:
+    """64-bit SimHash over word tokens, md5-derived bits, hex-string output.
+
+    Generated per dialect: Spark `instr`/`shiftright`, DuckDB `strpos`/`>>`.
+    Bit j of hex digit k votes ±1 per token; output digit k reassembles the
+    four vote signs."""
+    hexs = "'0123456789abcdef'"
+    if dialect == "spark":
+        split = "explode(split(trim(text), '\\\\s+'))"
+        pos = lambda c: f"instr({hexs}, {c})"
+        shr = lambda x, j: f"shiftright({x}, {j})"
+    else:
+        split = "unnest(regexp_split_to_array(trim(text), '\\s+'))"
+        pos = lambda c: f"strpos({hexs}, {c})"
+        shr = lambda x, j: f"({x} >> {j})"
+    dv = lambda k: f"({pos(f'substr(md5(tok), {k + 1}, 1)')} - 1)"
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN {shr(dv(k), j)} & 1 = 1 THEN 1 ELSE -1 END) AS v{k}_{j}"
+        for k in range(16) for j in range(4)
+    )
+    digits = " || ".join(
+        f"substr({hexs}, 1 + "
+        + " + ".join(f"(CASE WHEN v{k}_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(4))
+        + ", 1)"
+        for k in range(16)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {split} AS tok
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), votes AS (
+      SELECT doc_id, {votes}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, {digits} AS simhash FROM votes
+    """
+
+
+_SQL["simhash"] = (_simhash_sql("spark"), _simhash_sql("duck"))
+
+
+# --- LSH candidates + exact 3-gram Jaccard: both dialects -------------------
+
+_NGRAM_SPARK = """
+WITH toks AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), btoks AS (
+  SELECT doc_id, tok, band FROM toks
+  LATERAL VIEW explode(t) AS tok
+  LATERAL VIEW explode(array(0, 1, 2, 3)) AS band
+), sig AS (
+  SELECT doc_id, band,
+         MIN(md5(concat('a', CAST(band AS STRING), '|', tok))) AS m0,
+         MIN(md5(concat('b', CAST(band AS STRING), '|', tok))) AS m1,
+         MIN(md5(concat('c', CAST(band AS STRING), '|', tok))) AS m2,
+         MIN(md5(concat('d', CAST(band AS STRING), '|', tok))) AS m3
+  FROM btoks GROUP BY doc_id, band
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+       AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id
+), grams AS (
+  SELECT DISTINCT doc_id, gram FROM toks
+  LATERAL VIEW explode(
+    transform(sequence(0, greatest(size(t) - 3, 0)),
+              i -> concat_ws(' ', slice(t, i + 1, 3)))) AS gram
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.id_a
+  JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+  GROUP BY p.id_a, p.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+"""
+
+_NGRAM_DUCK = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), btoks AS (
+  SELECT doc_id, tok, band
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+), sig AS (
+  SELECT doc_id, band,
+         MIN(md5(concat('a', CAST(band AS VARCHAR), '|', tok))) AS m0,
+         MIN(md5(concat('b', CAST(band AS VARCHAR), '|', tok))) AS m1,
+         MIN(md5(concat('c', CAST(band AS VARCHAR), '|', tok))) AS m2,
+         MIN(md5(concat('d', CAST(band AS VARCHAR), '|', tok))) AS m3
+  FROM btoks GROUP BY doc_id, band
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+       AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i + 1, i + 3), ' ') AS gram
+  FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) u(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.id_a
+  JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+  GROUP BY p.id_a, p.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+"""
+
+_SQL["ngram_jaccard_lsh"] = (_NGRAM_SPARK, _NGRAM_DUCK)
+
+# planted-exact-copy recall oracle: every vec_id gets an exact duplicate at
+# vec_id + 1000000; identical vectors land in the same RHP bucket by
+# construction, so the engine's LSH dedup must return exactly these pairs
+# (cosine rounds to 1.0) — recall is structurally provable, and the corpus
+# itself contributes no ≥0.92 same-bucket pairs (verified at sf0.001-0.1)
+_SQL["embedding_dedup"] = (
+    """
+    SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS cosine
+    FROM embeddings
+    """,
+) * 2
+
+# container-codec decode proofs: the Spark side runs the FULL encode→decode
+# pipeline over constructed map / nested-array columns, the oracle
+# reconstructs the expected rows directly from the parquet
+_SQL["map_decode"] = (
+    """
+    SELECT event_id, 'type' AS key, event_type AS value FROM events
+    UNION ALL
+    SELECT event_id, 'props' AS key, props AS value FROM events
+    """,
+) * 2
+
+_SQL["nested_decode"] = (
+    """
+    SELECT vec_id, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           element_at(embedding, CAST(32 * i + j + 1 AS INT)) AS val
+    FROM embeddings
+    LATERAL VIEW explode(array(0, 1)) AS i
+    LATERAL VIEW explode(sequence(0, 31)) AS j
+    """,
+    """
+    SELECT vec_id, CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+           embedding[CAST(32 * i + j + 1 AS INTEGER)] AS val
+    FROM embeddings, UNNEST(range(0, 2)) u(i), UNNEST(range(0, 32)) w(j)
+    """,
+)
 
 
 def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -385,16 +551,64 @@ def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine dedup with planted exact copies (vec_id+10^6):
+    the oracle is the planted-pair ground truth, so this checks recall AND
+    false positives of the bucketed path end-to-end."""
     from sparrow_ipc_spark.functions.similarity import pairwise_cosine_dedup
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return pairwise_cosine_dedup(emb, threshold=0.92, n_planes=8)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    planted = emb.select((F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding")
+    out = pairwise_cosine_dedup(emb.unionByName(planted), threshold=0.92, n_planes=8)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparrow_ipc_spark.functions.dedup import simhash64
+def _simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 SimHash near-dup pairs (16-bit-chunk blocked) — the fast
+    JVM-hash scale path; rows-only (xxhash64 has no DuckDB analog)."""
+    from sparrow_ipc_spark.functions.dedup import simhash_near_pairs
 
-    return simhash64(_docs(spark, sf_dir))
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _map_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map<string,string> through the full encode→decode pipeline, exploded
+    to rows; the oracle reconstructs the same rows straight from parquet."""
+    from sparrow_ipc_spark.operators.decode_job import decode_blocks
+    from sparrow_ipc_spark.operators.encode_job import (
+        encode_table, infer_fields, spark_schema_for,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.create_map(
+            F.lit("type"), F.col("event_type"), F.lit("props"), F.col("props")
+        ).alias("m"),
+    )
+    fields = infer_fields(ev)
+    blocks_df, dr, _ = encode_table(spark, ev)
+    dec = decode_blocks(spark, blocks_df, dr, schema=spark_schema_for(fields))
+    return dec.select("event_id", F.explode("m").alias("key", "value"))
+
+
+def _nested_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<array<float>> (reshaped embeddings) through encode→decode,
+    flattened back to scalars — bit-identity proof for nested lists."""
+    from sparrow_ipc_spark.operators.decode_job import decode_blocks
+    from sparrow_ipc_spark.operators.encode_job import (
+        encode_table, infer_fields, spark_schema_for,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.array(F.slice("embedding", 1, 32), F.slice("embedding", 33, 32)).alias("mat"),
+    )
+    fields = infer_fields(emb)
+    blocks_df, dr, _ = encode_table(spark, emb)
+    dec = decode_blocks(spark, blocks_df, dr, schema=spark_schema_for(fields))
+    return (
+        dec.select("vec_id", F.posexplode("mat").alias("i", "row"))
+        .select("vec_id", "i", F.posexplode("row").alias("j", "val"))
+    )
 
 
 def _ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,14 +652,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["quality_score"] = _fn_query(X.quality_metrics)
     out["lang_guess"] = _fn_query(X.lang_guess)
     out["doc_fingerprint"] = _fn_query(X.doc_fingerprint)
+    # oracle-checked operators whose Spark side is engine machinery
+    out["simhash"] = _fn_query(D.simhash_md5)
+    out["ngram_jaccard_lsh"] = _ngram_jaccard_lsh
+    out["embedding_dedup"] = _embedding_dedup
+    out["map_decode"] = _map_decode
+    out["nested_decode"] = _nested_decode
     # engine-native / rows-only operators
     out["codec_roundtrip"] = _codec_roundtrip
     out["codec_selection"] = _codec_selection
     out["cosine_topk"] = _cosine_topk
     out["ann_topk"] = _ann_topk
-    out["embedding_dedup"] = _embedding_dedup
-    out["simhash"] = _simhash
-    out["ngram_jaccard_lsh"] = _ngram_jaccard_lsh
+    out["simhash_near_pairs"] = _simhash_near_pairs
     out["image_features"] = _image_features
     return out
 

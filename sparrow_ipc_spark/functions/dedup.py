@@ -83,7 +83,9 @@ def lsh_pairs(df: DataFrame, col: str = "text", id_col: str = "doc_id",
         )
 
     aggs = [F.min(_h(chr(97 + r))).alias(f"m{r}") for r in range(rows_per_band)]
-    sig = toks.groupBy(id_col, "band").agg(*aggs)
+    # sig feeds BOTH sides of the self-join: without persist Spark recomputes
+    # the tokenize+explode+groupBy lineage twice (once per side)
+    sig = toks.groupBy(id_col, "band").agg(*aggs).persist()
     keys = ["band"] + [f"m{r}" for r in range(rows_per_band)]
     a = sig.select(F.col(id_col).alias("id_a"), *keys)
     b = sig.select(F.col(id_col).alias("id_b"), *keys)
@@ -116,6 +118,39 @@ def simhash64(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataF
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = fp.bitwiseOR(F.shiftleft(bit, i))
     return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_md5(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash with an md5-derived token hash, output as a 16-char
+    hex string — the oracle-parity variant of :func:`simhash64` (md5 is the
+    one hash both Spark and DuckDB evaluate identically; xxhash64 has no
+    DuckDB analog).  Bit j of hex digit k votes ±1 per token; digit k of the
+    output is reassembled from the four vote signs."""
+    toks = _tokens(df, col, id_col)
+    h = F.md5("tok")
+    dvs = toks.select(
+        id_col,
+        *[(F.instr(F.lit(_HEX), F.substring(h, k + 1, 1)) - 1).alias(f"d{k}")
+          for k in range(16)],
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col(f"d{k}"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{k}_{j}")
+        for k in range(16)
+        for j in range(4)
+    ]
+    votes = dvs.groupBy(id_col).agg(*aggs)
+    digits = []
+    for k in range(16):
+        dig = F.lit(0)
+        for j in range(4):
+            dig = dig + F.when(F.col(f"v{k}_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        digits.append(F.substring(F.lit(_HEX), dig + 1, 1))
+    return votes.select(F.col(id_col), F.concat(*digits).alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, col: str = "text", id_col: str = "doc_id",
@@ -166,7 +201,7 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, col: str = "text",
                 lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)),
             )
         ).alias("gram"),
-    ).distinct()
+    ).distinct().persist()  # read 3× below (sizes + both join sides)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
     ga = grams.select(F.col(id_col).alias("id_a"), "gram")
     gb = grams.select(F.col(id_col).alias("id_b"), "gram")

@@ -41,10 +41,21 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+try:  # pragma: no cover - PIL is absent from this container
+    from PIL import Image as _PIL_Image
+except ImportError:
+    _PIL_Image = None
+
+
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Real decode hook — requires an image library absent from this
-    container.  Replace with PIL.Image.open in production."""
-    raise NotImplementedError("media decode requires PIL/libvips (not in sandbox)")
+    """Real decode hook: used automatically when PIL is importable;
+    otherwise callers must stay on the deterministic fake decoder."""
+    if _PIL_Image is None:
+        raise NotImplementedError("media decode requires PIL/libvips (not in sandbox)")
+    import io
+
+    img = _PIL_Image.open(io.BytesIO(payload)).convert("L")  # pragma: no cover
+    return np.asarray(img, dtype=np.uint8)  # pragma: no cover
 
 
 def _decode_image_fake(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -66,19 +77,25 @@ def image_features(df: DataFrame, use_real_decode: bool = False) -> DataFrame:
     """Per-image features via Arrow-batched mapInPandas (one pass, no
     shuffle; batch shape = maxRecordsPerBatch rows of binary payloads)."""
 
+    decode_real = use_real_decode or _PIL_Image is not None
+
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                if use_real_decode:
-                    img = _decode_image_real(r["payload"])  # pragma: no cover
+            # column-array zip, not iterrows (per-row Series construction is
+            # the slowest pandas idiom); per-image decode is inherently
+            # per-element Python
+            for mid, payload, w, h in zip(
+                pdf["media_id"].to_numpy(), pdf["payload"].to_numpy(),
+                pdf["width"].to_numpy(), pdf["height"].to_numpy(),
+            ):
+                if decode_real and use_real_decode:
+                    img = _decode_image_real(payload)  # pragma: no cover
                 else:
-                    img = _decode_image_fake(r["payload"], r["width"] or 1, r["height"] or 1)
+                    img = _decode_image_fake(payload, int(w or 1), int(h or 1))
                 out.append(
-                    (
-                        int(r["media_id"]), img.shape[1], img.shape[0],
-                        float(img.mean()), _entropy(img),
-                    )
+                    (int(mid), img.shape[1], img.shape[0],
+                     float(img.mean()), _entropy(img))
                 )
             yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
 
@@ -92,14 +109,20 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                img = _decode_image_fake(r["payload"], r["width"] or 1, r["height"] or 1)
+            for mid, kind, mime, w, h, dur, payload in zip(
+                pdf["media_id"].to_numpy(), pdf["kind"].to_numpy(),
+                pdf["mime"].to_numpy(), pdf["width"].to_numpy(),
+                pdf["height"].to_numpy(), pdf["duration_ms"].to_numpy(),
+                pdf["payload"].to_numpy(),
+            ):
+                img = _decode_image_fake(payload, int(w or 1), int(h or 1))
                 yi = np.linspace(0, img.shape[0] - 1, target_h).astype(np.int64)
                 xi = np.linspace(0, img.shape[1] - 1, target_w).astype(np.int64)
                 small = img[np.ix_(yi, xi)]
                 rows.append(
-                    (int(r["media_id"]), r["kind"], r["mime"], target_w, target_h,
-                     r["duration_ms"], small.tobytes())
+                    (int(mid), kind, mime, target_w, target_h,
+                     None if dur is None or (isinstance(dur, float) and np.isnan(dur)) else int(dur),
+                     small.tobytes())
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
@@ -120,11 +143,14 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                dur = int(r["duration_ms"] or 0)
-                for t in range(0, max(dur, 1), every_ms):
-                    frame = _decode_image_fake(r["payload"], 8, 8)
-                    rows.append((int(r["media_id"]), t, frame.tobytes()))
+            for mid, dur, payload in zip(
+                pdf["media_id"].to_numpy(), pdf["duration_ms"].to_numpy(),
+                pdf["payload"].to_numpy(),
+            ):
+                d = 0 if dur is None or (isinstance(dur, float) and np.isnan(dur)) else int(dur)
+                for t in range(0, max(d, 1), every_ms):
+                    frame = _decode_image_fake(payload, 8, 8)
+                    rows.append((int(mid), t, frame.tobytes()))
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.where(df["kind"] == "video").mapInPandas(fs, schema=out_schema)

@@ -137,29 +137,86 @@ def spark_schema_for(fields: list[tuple[str, str]]):
     return T.StructType([T.StructField(n, spark_type_of(t), True) for n, t in fields])
 
 
+# hard ceiling on global-dictionary cardinality: above this the distinct
+# set never reaches the driver and the column falls back to block-local
+# dictionaries (dict_local) / the selector's other codecs.  At 10^12 rows a
+# mis-listed high-cardinality column must degrade, not OOM the driver.
+DICT_MAX_GLOBAL_DISTINCT = 65_536
+
+
 def build_global_dicts(
-    df: DataFrame, cols=DEFAULT_DICT_COLS
+    df: DataFrame, cols=DEFAULT_DICT_COLS,
+    max_distinct: int = DICT_MAX_GLOBAL_DISTINCT,
 ) -> tuple[list[dict], dict]:
     """Distinct-build stage → (dictionary table rows, broadcastable payload).
 
     Catalyst runs partial+final HashAggregate for distinct automatically —
     the map-side combine keeps the shuffle tiny for low-cardinality columns.
     Codes are assigned by sorted value order: deterministic across retries
-    and cluster sizes.
+    and cluster sizes.  A cheap ``approx_count_distinct`` pass gates the
+    ``collect_set`` (±5% sketch error padded by 2×), so an unexpectedly
+    high-cardinality column can never pull its distinct set into the driver.
     """
     rows: list[dict] = []
     payload: dict = {}
     if not cols:
         return rows, payload
+    approx = df.agg(
+        *[F.approx_count_distinct(F.col(c)).alias(c) for c in cols]
+    ).collect()[0]
+    eligible = [c for c in cols if int(approx[c] or 0) <= 2 * max_distinct]
+    if not eligible:
+        return rows, payload
     # ONE job for all dictionary columns: map-side partial collect_set keeps
     # the shuffle tiny; codes assigned by sorted value order in the driver.
     agg_row = df.agg(
-        *[F.collect_set(F.col(c)).alias(c) for c in cols]
+        *[F.collect_set(F.col(c)).alias(c) for c in eligible]
     ).collect()[0]
-    for col in cols:
+    for col in eligible:
         vals = sorted(v for v in agg_row[col] if v is not None)
+        if len(vals) > max_distinct:  # sketch under-estimated: still degrade
+            continue
         rows.append(dict_row_for_values(col, vals, version=0, is_delta=False))
         payload[col] = {"dict_id": dict_id_for(col), "values": vals}
+    return rows, payload
+
+
+def delta_dictionaries(
+    spark: SparkSession, df: DataFrame, prev_rows: list[dict],
+    cols=DEFAULT_DICT_COLS,
+) -> tuple[list[dict], dict]:
+    """Delta-append against committed dictionaries: values not yet emitted
+    become one is_delta row per column at version = prev_max + 1; the encode
+    payload extends the existing code assignment (known order, then fresh
+    sorted) so previously-written blocks keep decoding against the merge
+    (/root/reference/src/dictionary_cache.cpp:20-111 merge-by-version)."""
+    by_col: dict[str, list[dict]] = {}
+    for r in prev_rows:
+        by_col.setdefault(str(r["col_name"]), []).append(r)
+    rows: list[dict] = []
+    payload: dict = {}
+    cols = [c for c in cols if c in by_col]
+    if not cols:
+        return rows, payload
+    agg_row = df.agg(*[F.collect_set(F.col(c)).alias(c) for c in cols]).collect()[0]
+    for c in cols:
+        prev_sorted = sorted(by_col[c], key=lambda r: int(r.get("version", 0) or 0))
+        known: list[str] = []
+        for r in prev_sorted:
+            n = int(r["n_values"])
+            offs = np.frombuffer(bytes(r["values_offsets"]), dtype=np.int32, count=n + 1)
+            data = bytes(r["values_data"] or b"")
+            arr = pa.Array.from_buffers(
+                pa.string(), n,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)], 0,
+            )
+            known.extend(arr.to_pylist())
+        kset = set(known)
+        fresh = sorted(v for v in agg_row[c] if v is not None and v not in kset)
+        if fresh:
+            version = int(prev_sorted[-1].get("version", 0) or 0) + 1
+            rows.append(dict_row_for_values(c, fresh, version=version, is_delta=True))
+        payload[c] = {"dict_id": dict_id_for(c), "values": known + fresh}
     return rows, payload
 
 
@@ -198,6 +255,7 @@ def encode_transcripts(
     clustered: bool = False,
     dict_payload: dict | None = None,
     fields: list[tuple[str, str]] | None = None,
+    part_offset: int = 0,
 ) -> tuple[DataFrame, list[dict], dict]:
     """Returns (blocks_df, dictionary_rows, dict_payload).
 
@@ -249,7 +307,7 @@ def encode_transcripts(
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # pure-Arrow encode: no pandas object materialization on either side
         tc = TaskContext.get()
-        part_id = tc.partitionId() if tc is not None else 0
+        part_id = part_offset + (tc.partitionId() if tc is not None else 0)
         gdicts = {
             c: {"dict_id": e["dict_id"], "values": pa.array(e["values"], type=pa.string())}
             for c, e in bc.value.items()
@@ -370,31 +428,63 @@ def write_encoded(
     dict_cols=DEFAULT_DICT_COLS,
     salt_span: int = DEFAULT_SALT_SPAN,
     resume: bool = False,
+    append: bool = False,
     clustered: bool = False,
 ) -> dict:
     """Full encode job with commit: blocks + dictionaries + manifest parquet.
 
-    With ``resume=True``, part_ids already committed in the manifest are
-    skipped (their rows pruned at the scan) and new blocks are appended.
+    ``resume=True`` — crash-resume of the SAME input: part_ids already
+    committed in the manifest are pruned at the scan, only missing
+    partitions re-encode.
+
+    ``append=True`` — NEW input rows for an existing directory: encoded
+    into fresh part ids (offset past the committed ones), with dictionary
+    growth emitted as is_delta rows so committed blocks and dictionaries
+    are never rewritten (reference delta rules:
+    /root/reference/src/dictionary_cache.cpp:20-111,
+    dictionary_tracker.cpp:128-169).
     """
     skip: set[int] = set()
     mode = "overwrite"
-    if resume:
+    part_offset = 0
+    prev_dicts: list[dict] | None = None
+    if resume or append:
         try:
             prev = spark.read.parquet(f"{out_dir}/manifest")
-            skip = {int(r["part_id"]) for r in prev.select("part_id").collect()}
+            part_ids = {int(r["part_id"]) for r in prev.select("part_id").collect()}
             mode = "append"
+            prev_dicts = [
+                r.asDict() for r in spark.read.parquet(f"{out_dir}/dictionaries").collect()
+            ]
+            if append:
+                part_offset = (max(part_ids) + 1) if part_ids else 0
+            else:
+                skip = part_ids
         except Exception:
             skip = set()
-    blocks_df, dict_rows, _ = encode_transcripts(
-        spark, df, n_parts=n_parts, dict_cols=dict_cols, salt_span=salt_span,
-        skip_part_ids=skip or None, clustered=clustered,
-    )
-    blocks_df.write.mode(mode).parquet(f"{out_dir}/blocks")
-    if not (resume and skip):
+    if prev_dicts is not None:
+        # committed dictionaries are never rewritten: unseen values append
+        # as delta rows and codes extend the existing assignment, so
+        # already-written blocks' indices stay valid
+        dict_rows, payload = delta_dictionaries(spark, df, prev_dicts, dict_cols)
+        blocks_df, _, _ = encode_transcripts(
+            spark, df, n_parts=n_parts, dict_cols=dict_cols, salt_span=salt_span,
+            skip_part_ids=skip or None, clustered=clustered, dict_payload=payload,
+            part_offset=part_offset,
+        )
+        if dict_rows:
+            spark.createDataFrame(dict_rows, schema=DICTIONARY_SCHEMA).write.mode(
+                "append"
+            ).parquet(f"{out_dir}/dictionaries")
+    else:
+        blocks_df, dict_rows, _ = encode_transcripts(
+            spark, df, n_parts=n_parts, dict_cols=dict_cols, salt_span=salt_span,
+            skip_part_ids=skip or None, clustered=clustered,
+        )
         spark.createDataFrame(dict_rows, schema=DICTIONARY_SCHEMA).write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/dictionaries")
+    blocks_df.write.mode(mode).parquet(f"{out_dir}/blocks")
     # ONE post-pass over the (small) written block metadata: per-partition
     # manifest rows collected to the driver, totals derived from them, tiny
     # manifest written back via createDataFrame — no second scan job.
