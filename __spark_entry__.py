@@ -80,21 +80,29 @@ GROUP BY doc_id, band
 
 _SQL: dict[str, tuple[str, str]] = {
     # --- codec-analog operators on the events table -----------------------
+    # sorted-order code assignment WITHOUT a global window (an unpartitioned
+    # window collapses to one task — the engine's own dictionary build never
+    # does this; codes come from a distinct-distinct rank join instead)
     "dict_codes": 2 * (
         """
-        SELECT event_type,
-               CAST(dense_rank() OVER (ORDER BY event_type) AS BIGINT) AS code
-        FROM (SELECT DISTINCT event_type FROM events) t
+        SELECT a.event_type, CAST(COUNT(b.event_type) AS BIGINT) AS code
+        FROM (SELECT DISTINCT event_type FROM events) a
+        JOIN (SELECT DISTINCT event_type FROM events) b
+          ON b.event_type <= a.event_type
+        GROUP BY a.event_type
         """,
     ),
     "dict_encode": 2 * (
         """
         SELECT e.event_id, d.code
         FROM events e
-        JOIN (SELECT event_type,
-                     CAST(dense_rank() OVER (ORDER BY event_type) AS BIGINT) AS code
-              FROM (SELECT DISTINCT event_type FROM events) t) d
-          ON e.event_type = d.event_type
+        JOIN (
+          SELECT a.event_type, CAST(COUNT(b.event_type) AS BIGINT) AS code
+          FROM (SELECT DISTINCT event_type FROM events) a
+          JOIN (SELECT DISTINCT event_type FROM events) b
+            ON b.event_type <= a.event_type
+          GROUP BY a.event_type
+        ) d ON e.event_type = d.event_type
         """,
     ),
     "rle_runs": 2 * (
@@ -169,13 +177,20 @@ _SQL: dict[str, tuple[str, str]] = {
         """,
     ),
     "minhash_signature": (_MINHASH_SIG_SPARK, _MINHASH_SIG_DUCK),
+    # LSH over word 3-gram SHINGLES (unigram tokens collide for ~half of
+    # all pairs on a shared-vocabulary corpus — O(n²) candidates at scale)
     "minhash_lsh_pairs": (
         """
-        WITH toks AS (
-          SELECT t.doc_id, t.tok, b.band
-          FROM (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS tok
-                FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0) t
-          CROSS JOIN (SELECT explode(array(0, 1, 2, 3)) AS band) b
+        WITH g AS (
+          SELECT doc_id, gram AS tok
+          FROM (SELECT doc_id, split(trim(text), '\\\\s+') AS t
+                FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
+          LATERAL VIEW explode(
+            transform(sequence(0, greatest(size(t) - 3, 0)),
+                      i -> concat_ws(' ', slice(t, i + 1, 3)))) AS gram
+        ), toks AS (
+          SELECT g.doc_id, g.tok, b.band
+          FROM g CROSS JOIN (SELECT explode(array(0, 1, 2, 3)) AS band) b
         ), sig AS (
           SELECT doc_id, band,
                  MIN(md5(concat('a', CAST(band AS STRING), '|', tok))) AS m0,
@@ -190,11 +205,14 @@ _SQL: dict[str, tuple[str, str]] = {
              AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id
         """,
         """
-        WITH toks AS (
-          SELECT t.doc_id, t.tok, b.band
-          FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-                FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0) t
-          CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+        WITH g AS (
+          SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 3), ' ') AS tok
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+               UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) u(i)
+        ), toks AS (
+          SELECT g.doc_id, g.tok, b.band
+          FROM g CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
         ), sig AS (
           SELECT doc_id, band,
                  MIN(md5(concat('a', CAST(band AS VARCHAR), '|', tok))) AS m0,
@@ -334,9 +352,13 @@ _NGRAM_SPARK = """
 WITH toks AS (
   SELECT doc_id, split(trim(text), '\\\\s+') AS t
   FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), allgrams AS (
+  SELECT doc_id, gram FROM toks
+  LATERAL VIEW explode(
+    transform(sequence(0, greatest(size(t) - 3, 0)),
+              i -> concat_ws(' ', slice(t, i + 1, 3)))) AS gram
 ), btoks AS (
-  SELECT doc_id, tok, band FROM toks
-  LATERAL VIEW explode(t) AS tok
+  SELECT doc_id, gram AS tok, band FROM allgrams
   LATERAL VIEW explode(array(0, 1, 2, 3)) AS band
 ), sig AS (
   SELECT doc_id, band,
@@ -351,10 +373,7 @@ WITH toks AS (
     ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
        AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id
 ), grams AS (
-  SELECT DISTINCT doc_id, gram FROM toks
-  LATERAL VIEW explode(
-    transform(sequence(0, greatest(size(t) - 3, 0)),
-              i -> concat_ws(' ', slice(t, i + 1, 3)))) AS gram
+  SELECT DISTINCT doc_id, gram FROM allgrams
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
 ), inter AS (
@@ -375,9 +394,12 @@ _NGRAM_DUCK = """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
   FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), allgrams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 3), ' ') AS gram
+  FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) u(i)
 ), btoks AS (
-  SELECT doc_id, tok, band
-  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  SELECT doc_id, gram AS tok, band
+  FROM allgrams
   CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
 ), sig AS (
   SELECT doc_id, band,
@@ -392,8 +414,7 @@ WITH toks AS (
     ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
        AND a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id
 ), grams AS (
-  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i + 1, i + 3), ' ') AS gram
-  FROM toks, UNNEST(range(0, greatest(len(t) - 3, 0) + 1)) u(i)
+  SELECT DISTINCT doc_id, gram FROM allgrams
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
 ), inter AS (

@@ -129,6 +129,10 @@ SCALAR_CASES = {
     "uint64_extreme": pa.array([0, 2**64 - 1, 2**63, None, 1], type=pa.uint64()),
     "uint8": pa.array([0, 255, None, 7] * 10, type=pa.uint8()),
     "date64": pa.array([0, 86_400_000, None] * 5, type=pa.date64()),
+    "decimal256": pa.array(
+        [None if i % 7 == 0 else __import__("decimal").Decimal(i * 10**30) / 100
+         for i in range(40)],
+        type=pa.decimal256(60, 2)),
 }
 
 
