@@ -571,6 +571,16 @@ def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, qv, k=10, n_planes=8)
 
 
+def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-10 (coarse k-means quantizer + probed
+    inverted lists) — the second scale path next to RHP-LSH."""
+    from sparrow_ipc_spark.functions.similarity import ivf_topk
+
+    qv, qid = _query_vector(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") != qid)
+    return ivf_topk(emb, qv, k=10, n_centroids=16, n_probe=4)
+
+
 def _embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed cosine dedup with planted exact copies (vec_id+10^6):
     the oracle is the planted-pair ground truth, so this checks recall AND
@@ -684,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["codec_selection"] = _codec_selection
     out["cosine_topk"] = _cosine_topk
     out["ann_topk"] = _ann_topk
+    out["ivf_topk"] = _ivf_topk
     out["simhash_near_pairs"] = _simhash_near_pairs
     out["image_features"] = _image_features
     return out

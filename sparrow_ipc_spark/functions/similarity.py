@@ -81,6 +81,62 @@ def ann_topk(df: DataFrame, query_vec: list[float], k: int = 10, n_planes: int =
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def ivf_centroids(df: DataFrame, n_centroids: int = 16, seed: int = 42,
+                  sample: int = 2048, iters: int = 5,
+                  vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic IVF coarse quantizer: Lloyd's k-means on a bounded,
+    id-ordered sample pulled to the driver (sample size is capped, never
+    the table), centroids then broadcast as literals.  Determinism: sample
+    = lowest ``sample`` ids, init = first ``n_centroids`` sampled vectors."""
+    rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    if len(x) == 0:
+        return np.zeros((0, 0))
+    c = x[: min(n_centroids, len(x))].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - c[None]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for k in range(len(c)):
+            m = a == k
+            if m.any():
+                c[k] = x[m].mean(0)
+    return c
+
+
+def _sq_dist(v, centroid: np.ndarray):
+    plane = F.array(*[F.lit(float(t)) for t in centroid])
+    return F.aggregate(
+        F.zip_with(v, plane, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"), lambda acc, t: acc + t,
+    )
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Append the nearest-centroid id as ``cluster`` (JVM-side expressions;
+    at scale this is the partition/bucket key for the inverted lists)."""
+    dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
+    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return df.withColumn("cluster", cluster)
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` inverted lists nearest
+    the query, exact cosine re-rank inside them — the classic IVF-Flat
+    scale path (brute force = ``cosine_topk``; RHP-LSH = ``ann_topk``)."""
+    c = centroids if centroids is not None else ivf_centroids(
+        df, n_centroids, seed, vec_col=vec_col, id_col=id_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(((c - q[None]) ** 2).sum(-1), kind="stable")
+    probes = [int(i) for i in order[: max(1, n_probe)]]
+    assigned = ivf_assign(df, c, vec_col)
+    cand = assigned.where(F.col("cluster").isin(probes))
+    return cosine_topk(cand.drop("cluster"), query_vec, k, vec_col, id_col)
+
+
 def pairwise_cosine_dedup(df: DataFrame, threshold: float = 0.95, n_planes: int = 12,
                           seed: int = 42, vec_col: str = "embedding",
                           id_col: str = "vec_id") -> DataFrame:

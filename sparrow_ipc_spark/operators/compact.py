@@ -1,0 +1,82 @@
+"""Block compaction: merge undersized blocks into full ones.
+
+Streaming appends (micro-batches) and resumed runs leave small blocks —
+each block carries fixed metadata (schema descriptors, framing headers,
+symbol tables) and small chunks compress worse, so at 10^12-turn scale
+the block-size distribution must be maintainable.  Compaction decodes
+only the undersized blocks, re-encodes them clustered at full batch size,
+and rewrites the block table; committed dictionaries are REUSED verbatim
+(code assignment preserved — the delta-merge invariant,
+/root/reference/src/dictionary_cache.cpp:20-111), so untouched blocks
+stay byte-identical and no dictionary rows change.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sparrow_ipc_spark.operators.decode_job import decode_blocks
+from sparrow_ipc_spark.operators.encode_job import (
+    encode_transcripts,
+    manifest_from_blocks,
+    payload_from_dict_rows,
+)
+from sparrow_ipc_spark.schema import MANIFEST_SCHEMA, TRANSCRIPTS_SCHEMA
+
+
+def compact_blocks(
+    spark: SparkSession,
+    out_dir: str,
+    small_rows: int = 8192,
+    target_rows: int = 65536,
+    schema=TRANSCRIPTS_SCHEMA,
+    dict_cols=None,
+) -> dict:
+    """Merge blocks with fewer than ``small_rows`` rows into ~``target_rows``
+    blocks.  Returns {before, after, compacted, rows_moved}."""
+    blocks = spark.read.parquet(f"{out_dir}/blocks")
+    meta = blocks.select("part_id", "n_rows").collect()
+    before = len(meta)
+    small = blocks.where(F.col("n_rows") < small_rows)
+    n_small = small.select("part_id", "batch_seq").count()
+    if n_small <= 1:
+        return {"before": before, "after": before, "compacted": 0, "rows_moved": 0}
+
+    dict_rows = [r.asDict() for r in spark.read.parquet(f"{out_dir}/dictionaries").collect()]
+    payload = payload_from_dict_rows(dict_rows)
+    dec = decode_blocks(spark, small, dict_rows, schema=schema)
+    rows_moved = dec.count()
+    part_offset = max(int(r["part_id"]) for r in meta) + 1
+    n_parts = max(1, (rows_moved + target_rows - 1) // target_rows)
+    cols = tuple(payload.keys()) if dict_cols is None else tuple(dict_cols)
+    new_blocks, _, _ = encode_transcripts(
+        spark, dec, n_parts=n_parts, dict_cols=cols, dict_payload=payload,
+        part_offset=part_offset,
+    )
+    keep = blocks.where(F.col("n_rows") >= small_rows)
+    combined = keep.unionByName(new_blocks)
+
+    # parquet dirs are immutable while read: stage the rewrite, then swap
+    tmp = f"{out_dir}/blocks_compact_{uuid.uuid4().hex[:8]}"
+    combined.write.mode("overwrite").parquet(tmp)
+    old = f"{out_dir}/blocks_old_{uuid.uuid4().hex[:8]}"
+    os.rename(f"{out_dir}/blocks", old)
+    os.rename(tmp, f"{out_dir}/blocks")
+    shutil.rmtree(old, ignore_errors=True)
+
+    written = spark.read.parquet(f"{out_dir}/blocks").drop("body")
+    man_rows = manifest_from_blocks(written).collect()
+    spark.createDataFrame(man_rows, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/manifest")
+    after = int(written.count())
+    return {
+        "before": before,
+        "after": after,
+        "compacted": int(n_small),
+        "rows_moved": int(rows_moved),
+    }

@@ -181,6 +181,38 @@ def build_global_dicts(
     return rows, payload
 
 
+def _dict_values_of(version_sorted_rows: list[dict]) -> list[str]:
+    """Concatenate a column's dictionary values across versions (code order)."""
+    out: list[str] = []
+    for r in version_sorted_rows:
+        n = int(r["n_values"])
+        offs = np.frombuffer(bytes(r["values_offsets"]), dtype=np.int32, count=n + 1)
+        data = bytes(r["values_data"] or b"")
+        arr = pa.Array.from_buffers(
+            pa.string(), n,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)], 0,
+        )
+        out.extend(arr.to_pylist())
+    return out
+
+
+def payload_from_dict_rows(prev_rows: list[dict]) -> dict:
+    """Rebuild the broadcastable encode payload from committed dictionary
+    rows — code assignment preserved exactly (merge-by-version order)."""
+    by_col: dict[str, list[dict]] = {}
+    for r in prev_rows:
+        by_col.setdefault(str(r["col_name"]), []).append(r)
+    return {
+        c: {
+            "dict_id": dict_id_for(c),
+            "values": _dict_values_of(
+                sorted(rows, key=lambda r: int(r.get("version", 0) or 0))
+            ),
+        }
+        for c, rows in by_col.items()
+    }
+
+
 def delta_dictionaries(
     spark: SparkSession, df: DataFrame, prev_rows: list[dict],
     cols=DEFAULT_DICT_COLS,
@@ -201,16 +233,7 @@ def delta_dictionaries(
     agg_row = df.agg(*[F.collect_set(F.col(c)).alias(c) for c in cols]).collect()[0]
     for c in cols:
         prev_sorted = sorted(by_col[c], key=lambda r: int(r.get("version", 0) or 0))
-        known: list[str] = []
-        for r in prev_sorted:
-            n = int(r["n_values"])
-            offs = np.frombuffer(bytes(r["values_offsets"]), dtype=np.int32, count=n + 1)
-            data = bytes(r["values_data"] or b"")
-            arr = pa.Array.from_buffers(
-                pa.string(), n,
-                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)], 0,
-            )
-            known.extend(arr.to_pylist())
+        known = _dict_values_of(prev_sorted)
         kset = set(known)
         fresh = sorted(v for v in agg_row[c] if v is not None and v not in kset)
         if fresh:

@@ -92,6 +92,21 @@ def test_ann_matches_exact_top1(vectors):
     assert ann and ann[0]["vec_id"] == 1
 
 
+def test_ivf_topk(vectors):
+    q = [float(v) for v in vectors.where("vec_id = 0").collect()[0]["embedding"]]
+    rest = vectors.where("vec_id != 0")
+    c = similarity.ivf_centroids(rest, n_centroids=4, sample=64)
+    # probing ALL lists must reproduce the exact top-k
+    exact = [r["vec_id"] for r in similarity.cosine_topk(rest, q, k=3).collect()]
+    full = [r["vec_id"] for r in
+            similarity.ivf_topk(rest, q, k=3, n_probe=len(c), centroids=c).collect()]
+    assert full == exact
+    # limited probes still find the planted near-duplicate (its cluster is
+    # the query's nearest centroid by construction)
+    near = similarity.ivf_topk(rest, q, k=3, n_probe=1, centroids=c).collect()
+    assert near and near[0]["vec_id"] == 1
+
+
 def test_embedding_dedup(vectors):
     pairs = {(r["id_a"], r["id_b"]) for r in
              similarity.pairwise_cosine_dedup(vectors, threshold=0.98, n_planes=6).collect()}
