@@ -41,6 +41,42 @@ def _canonical(arr: pa.Array, target: pa.DataType) -> pa.Array:
     return arr
 
 
+_Z_EMPTY = {"zmin_int": None, "zmax_int": None, "zmin_num": None,
+            "zmax_num": None, "zmin_str": None, "zmax_str": None}
+
+
+def zone_stats(arr: pa.Array) -> dict:
+    """Per-column zone-map stats (typed min/max), null = don't prune.
+
+    The generalization of the conv/ts zone maps to every orderable column —
+    block-level skipping for arbitrary decode predicates (Footer-index
+    analog, /root/reference/src/stream_file_serializer.cpp:77-129)."""
+    out = dict(_Z_EMPTY)
+    t = arr.type
+    if len(arr) == 0 or arr.null_count == len(arr):
+        return out
+    try:
+        if (pa.types.is_integer(t) or pa.types.is_timestamp(t) or pa.types.is_date(t)
+                or pa.types.is_duration(t) or pa.types.is_time(t)):
+            from sparrow_ipc_spark.codecs import forbp
+
+            v = forbp._int64_values(arr.drop_null())
+            if pa.types.is_unsigned_integer(t) and (v < 0).any():
+                return out  # uint64 above 2^63: int64 stats would lie
+            out["zmin_int"], out["zmax_int"] = int(v.min()), int(v.max())
+        elif pa.types.is_floating(t):
+            mm = pc.min_max(arr)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo == lo and hi == hi:  # skip NaN-poisoned stats
+                out["zmin_num"], out["zmax_num"] = float(lo), float(hi)
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            mm = pc.min_max(arr)
+            out["zmin_str"], out["zmax_str"] = mm["min"].as_py(), mm["max"].as_py()
+    except Exception:
+        return dict(_Z_EMPTY)  # stats are an optimization, never a failure
+    return out
+
+
 def encode_batch_arrow(
     batch: pa.RecordBatch,
     fields: list[tuple[str, str]],
@@ -72,6 +108,7 @@ def encode_batch_arrow(
                 "logical_type": logical,
                 "codec": enc.codec,
                 "meta_json": json.dumps(enc.meta, separators=(",", ":")),
+                **zone_stats(arr),
             }
         )
         if enc.codec == "dict":
@@ -144,6 +181,7 @@ def encode_batch(
                 "logical_type": logical,
                 "codec": enc.codec,
                 "meta_json": json.dumps(enc.meta, separators=(",", ":")),
+                **zone_stats(arr),
             }
         )
         if enc.codec == "dict":

@@ -75,6 +75,41 @@ def prune_blocks(
     return out
 
 
+def prune_blocks_col(blocks_df: DataFrame, col: str,
+                     lo=None, hi=None) -> DataFrame:
+    """Generic per-column zone-map pruning: keep blocks whose stored
+    [zmin, zmax] for ``col`` overlaps [lo, hi] (None = open bound).
+
+    Works for any orderable column — the stat field is picked by the bound
+    type (int/float/str); blocks with null stats survive (conservative).
+    The predicate is a JVM-side ``exists`` over the small ``columns``
+    metadata array, so the multi-MB bodies of pruned blocks are never
+    decompressed or decoded."""
+    from pyspark.sql import functions as F
+
+    probe = lo if lo is not None else hi
+    if probe is None:
+        return blocks_df
+    if isinstance(probe, str):
+        fmin, fmax = "zmin_str", "zmax_str"
+    elif isinstance(probe, float):
+        fmin, fmax = "zmin_num", "zmax_num"
+    else:
+        fmin, fmax = "zmin_int", "zmax_int"
+
+    def overlap(c):
+        cond = c["name"] == F.lit(col)
+        stats_null = c[fmin].isNull() | c[fmax].isNull()
+        rng = F.lit(True)
+        if lo is not None:
+            rng = rng & (c[fmax] >= F.lit(lo))
+        if hi is not None:
+            rng = rng & (c[fmin] <= F.lit(hi))
+        return cond & (stats_null | rng)
+
+    return blocks_df.where(F.exists("columns", overlap))
+
+
 def _subset_schema(schema, columns):
     import pyspark.sql.types as T
 

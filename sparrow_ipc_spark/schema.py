@@ -72,6 +72,16 @@ BLOCK_SCHEMA = T.StructType(
                         T.StructField("logical_type", T.StringType(), False),
                         T.StructField("codec", T.StringType(), False),
                         T.StructField("meta_json", T.StringType(), False),
+                        # generic per-column zone maps (typed so integer
+                        # ranges never round-trip through doubles): decode
+                        # jobs prune blocks on ANY orderable column before
+                        # touching bodies; null stats = "don't prune"
+                        T.StructField("zmin_int", T.LongType(), True),
+                        T.StructField("zmax_int", T.LongType(), True),
+                        T.StructField("zmin_num", T.DoubleType(), True),
+                        T.StructField("zmax_num", T.DoubleType(), True),
+                        T.StructField("zmin_str", T.StringType(), True),
+                        T.StructField("zmax_str", T.StringType(), True),
                     ]
                 )
             ),
@@ -179,7 +189,10 @@ def arrow_block_schema():
                 [("name", pa.string()), ("length", pa.int64()), ("null_count", pa.int64())]))),
             ("columns", pa.list_(pa.struct(
                 [("name", pa.string()), ("logical_type", pa.string()),
-                 ("codec", pa.string()), ("meta_json", pa.string())]))),
+                 ("codec", pa.string()), ("meta_json", pa.string()),
+                 ("zmin_int", pa.int64()), ("zmax_int", pa.int64()),
+                 ("zmin_num", pa.float64()), ("zmax_num", pa.float64()),
+                 ("zmin_str", pa.string()), ("zmax_str", pa.string())]))),
             ("buffers", pa.list_(pa.struct(
                 [("col_idx", pa.int32()), ("kind", pa.string()), ("codec", pa.string()),
                  ("offset", pa.int64()), ("comp_len", pa.int64()), ("uncomp_len", pa.int64())]))),

@@ -65,3 +65,43 @@ def test_column_pruned_decode(spark, encoded):
     src = df.select("conv_id", "turn_idx", "role")
     assert dec.count() == src.count()
     assert dec.exceptAll(src).count() == 0 and src.exceptAll(dec).count() == 0
+
+
+def test_generic_zone_map_pruning(spark):
+    """Per-column zone maps prune blocks for arbitrary range predicates —
+    int (event_id), float (value), and string (event_type) bounds — and
+    the pruned decode still returns exactly the filtered rows."""
+    import pyspark.sql.functions as F
+
+    from sparrow_ipc_spark.operators.decode_job import decode_blocks, prune_blocks_col
+    from sparrow_ipc_spark.operators.encode_job import (
+        encode_table, infer_fields, spark_schema_for,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .repartitionByRange(8, "event_id").sortWithinPartitions("event_id")
+    fields = infer_fields(ev)
+    blocks_df, dr, _ = encode_table(spark, ev)
+    blocks_df = blocks_df.cache()
+    total_blocks = blocks_df.count()
+
+    lo, hi = 100, 400
+    pruned = prune_blocks_col(blocks_df, "event_id", lo=lo, hi=hi)
+    kept = pruned.count()
+    assert kept < total_blocks, "int zone map should skip blocks"
+    dec = decode_blocks(spark, pruned, dr, schema=spark_schema_for(fields)) \
+        .where(F.col("event_id").between(lo, hi))
+    want = ev.where(F.col("event_id").between(lo, hi))
+    assert dec.count() == want.count()
+    assert dec.exceptAll(want).count() == 0
+
+    # float + string bounds use their typed stat fields (survive or prune,
+    # never lose rows)
+    fpruned = prune_blocks_col(blocks_df, "value", lo=0.0, hi=50.0)
+    fdec = decode_blocks(spark, fpruned, dr, schema=spark_schema_for(fields)) \
+        .where(F.col("value").between(0.0, 50.0))
+    assert fdec.count() == ev.where(F.col("value").between(0.0, 50.0)).count()
+    spruned = prune_blocks_col(blocks_df, "event_type", lo="error", hi="error")
+    sdec = decode_blocks(spark, spruned, dr, schema=spark_schema_for(fields)) \
+        .where(F.col("event_type") == "error")
+    assert sdec.count() == ev.where(F.col("event_type") == "error").count()
