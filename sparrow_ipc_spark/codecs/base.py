@@ -237,6 +237,7 @@ _SCALAR_LOGICAL = {
     "duration[ms]": pa.duration("ms"),
     "duration[us]": pa.duration("us"),
     "duration[ns]": pa.duration("ns"),
+    "month_day_nano_interval": pa.month_day_nano_interval(),
 }
 
 

@@ -47,6 +47,21 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
         meta = {"offsets_meta": offs_enc.meta}
         bufs.append(("data", data))
         return base.EncodedColumn(codec="raw", meta=meta, buffers=bufs)
+    elif pa.types.is_interval(t):
+        # month_day_nano interval: fixed 16-byte (i32 months, i32 days,
+        # i64 nanos) — reference kernel deserialize_interval_array.hpp:12-19
+        ab = arr.buffers()
+        if ab[1] is None or n == 0:
+            data = b""
+        else:
+            v = np.frombuffer(ab[1], dtype=np.uint8,
+                              count=(arr.offset + n) * 16)[arr.offset * 16 :].reshape(n, 16).copy()
+            if arr.null_count:
+                valid = np.logical_not(arr.is_null().to_numpy(zero_copy_only=False))
+                v[~valid] = 0
+            data = v.tobytes()
+        bufs.append(("data", data))
+        return base.EncodedColumn(codec="raw", meta={}, buffers=bufs)
     elif pa.types.is_fixed_size_binary(t):
         # record + enforce the width invariant (reference `w:n` format,
         # /root/reference/src/flatbuffer_utils.cpp:424-441)
@@ -139,6 +154,12 @@ def decode(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.DataTyp
         vbuf = None if valid is None else pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
         return pa.Array.from_buffers(
             t, length, [vbuf, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)], null_count
+        )
+    if pa.types.is_interval(t):
+        null_count = 0 if valid is None else int(length - valid.sum())
+        vbuf = None if valid is None else pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+        return pa.Array.from_buffers(
+            t, length, [vbuf, pa.py_buffer(buffers.get("data", b""))], null_count
         )
     if pa.types.is_fixed_size_binary(t):
         w = int(meta.get("w", t.byte_width))

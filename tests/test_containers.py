@@ -129,6 +129,9 @@ SCALAR_CASES = {
     "uint64_extreme": pa.array([0, 2**64 - 1, 2**63, None, 1], type=pa.uint64()),
     "uint8": pa.array([0, 255, None, 7] * 10, type=pa.uint8()),
     "date64": pa.array([0, 86_400_000, None] * 5, type=pa.date64()),
+    "month_day_nano": pa.array(
+        [(1, 2, 3_000_000_000), None, (0, 0, 0), (-1, 15, 123)] * 10,
+        type=pa.month_day_nano_interval()),
     "decimal256": pa.array(
         [None if i % 7 == 0 else __import__("decimal").Decimal(i * 10**30) / 100
          for i in range(40)],
