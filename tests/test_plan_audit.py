@@ -61,3 +61,37 @@ def test_block_metadata_scan_prunes_body(spark, encoded_dir):
     )
     rs = audit.scan_schema(meta)
     assert "body" not in rs, f"body column not pruned from scan: {rs}"
+
+
+def test_container_encode_table_no_shuffle(spark):
+    """encode_table over map/nested columns maps over the scan — 0 exchanges."""
+    import pyspark.sql.functions as F
+
+    from sparrow_ipc_spark.operators.encode_job import encode_table
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id",
+        F.create_map(F.lit("t"), F.col("event_type")).alias("m"),
+        F.array(F.array(F.col("value"))).alias("mat"),
+    )
+    blocks_df, _, _ = encode_table(spark, ev)
+    audit.assert_no_shuffle(blocks_df, "container encode_table")
+
+
+def test_generic_zone_prune_stays_jvm_side(spark, encoded_dir):
+    """prune_blocks_col is an exists() over metadata: no shuffle, no Python."""
+    from sparrow_ipc_spark.operators.decode_job import prune_blocks_col
+
+    blocks_df = spark.read.parquet(f"{encoded_dir}/blocks")
+    pruned = prune_blocks_col(blocks_df, "turn_idx", lo=0, hi=5)
+    audit.assert_no_shuffle(pruned, "generic zone prune")
+    plan = audit.simple_plan(pruned)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_assign_no_shuffle(spark):
+    from sparrow_ipc_spark.functions.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c = ivf_centroids(emb, n_centroids=4, sample=128)
+    audit.assert_no_shuffle(ivf_assign(emb, c), "ivf_assign")
