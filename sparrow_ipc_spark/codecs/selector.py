@@ -171,7 +171,16 @@ def _probe_framed_size(payload: bytes) -> tuple[int, tuple[str, bytes] | None, s
     if n <= PROBE_LIMIT:
         codec, framed = base.compress_buffer(payload)
         return len(framed), (codec, framed), codec
-    sample = payload[:PROBE_LIMIT]
+    # stratified sample: four evenly-spaced slices, not the prefix — sorted
+    # or clustered data compresses differently along the buffer, and a
+    # prefix-only estimate was measured 1.5× optimistic on sorted conv_id
+    # (flipping the argmin to a worse candidate)
+    quarter = PROBE_LIMIT // 4
+    mv = memoryview(payload)
+    sample = b"".join(
+        bytes(mv[off : off + quarter])
+        for off in (0, n // 4, n // 2, max(0, n - quarter))
+    )
     best, hint = n + 8, "none"
     for name in base.GENERAL_CODECS:
         comp = base._PA_CODECS[name].compress(sample, asbytes=True)
