@@ -119,3 +119,19 @@ def test_decimal_and_struct_roundtrip(spark):
     src = {tuple(str(x) for x in r) for r in df.collect()}
     out = {tuple(str(x) for x in r) for r in dec.collect()}
     assert src == out
+
+
+def test_empty_input_encode_decode(spark, tmp_path_factory):
+    """0-row input: encode commits an empty-but-valid directory, resume
+    no-ops, decode returns 0 rows — no crashes anywhere in the lifecycle."""
+    from sparrow_ipc_spark.operators.encode_job import write_encoded
+    from sparrow_ipc_spark.operators.decode_job import decode_dir
+    from sparrow_ipc_spark.sources.transcripts import transcripts_df
+
+    out = str(tmp_path_factory.mktemp("empty"))
+    df = transcripts_df(spark, n_convs=5, seed=42).where("1 = 0")
+    stats = write_encoded(spark, df, out, n_parts=2)
+    assert stats["rows"] == 0 and stats["blocks"] == 0
+    stats2 = write_encoded(spark, df, out, n_parts=2, resume=True)
+    assert stats2["rows"] == 0
+    assert decode_dir(spark, out).count() == 0
