@@ -235,15 +235,27 @@ def _fsst_sample_gate(arr: pa.Array) -> bool:
     return len(fsst_framed) + tab_bytes < FSST_GATE_RATIO * len(raw_framed)
 
 
+FINALIST_MARGIN = 1.10
+
+
+def _frame_exact(enc: base.EncodedColumn,
+                 exact: list[tuple[tuple[str, bytes] | None, str]]) -> list[tuple[str, str, bytes]]:
+    framed: list[tuple[str, str, bytes]] = []
+    for (kind, payload), (ex, hint) in zip(enc.buffers, exact):
+        codec, fb = ex if ex is not None else _compress_as(payload, hint)
+        framed.append((kind, codec, fb))
+    return framed
+
+
 def select_and_encode(arr: pa.Array, ctx: dict) -> ColumnChoice:
-    """Encode the shortlist, pick the smallest estimated framed size,
-    then run the general-compression stage on the winner only."""
+    """Encode the shortlist, rank candidates by estimated framed size, and
+    resolve near-ties (within 10%) by exact framing — estimates alone can
+    mis-rank candidates a few percent apart, and those are precisely the
+    cases where the extra full compression pass is cheapest to justify."""
     cands = candidates_for(arr, ctx)
     if any(c == "fsst" for c, _ in cands) and not _fsst_sample_gate(arr):
         cands = [(c, e) for c, e in cands if c != "fsst"]
-    best_enc: base.EncodedColumn | None = None
-    best_exact: list[tuple[tuple[str, bytes] | None, str]] | None = None
-    best_size = 0
+    scored: list[tuple[int, base.EncodedColumn, list]] = []
     for codec, extra in cands:
         enc = base.encode_column(codec, arr, {**ctx, **extra})
         if enc is None:
@@ -253,13 +265,17 @@ def select_and_encode(arr: pa.Array, ctx: dict) -> ColumnChoice:
             est, ex, hint = _probe_framed_size(payload)
             size += est
             exact.append((ex, hint))
-        if best_enc is None or size < best_size:
-            best_enc, best_exact, best_size = enc, exact, size
-    assert best_enc is not None
-    framed: list[tuple[str, str, bytes]] = []
-    for (kind, payload), (ex, hint) in zip(best_enc.buffers, best_exact):
-        codec, fb = ex if ex is not None else _compress_as(payload, hint)
-        framed.append((kind, codec, fb))
-    enc_bytes = sum(len(fb) for _, _, fb in framed)
-    return ColumnChoice(encoded=best_enc, framed=framed,
-                        raw_bytes=_raw_size(arr), enc_bytes=enc_bytes)
+        scored.append((size, enc, exact))
+    assert scored
+    best_est = min(s for s, _, _ in scored)
+    finalists = [t for t in scored if t[0] <= FINALIST_MARGIN * best_est]
+    best_framed: list[tuple[str, str, bytes]] | None = None
+    best_enc: base.EncodedColumn | None = None
+    best_bytes = 0
+    for _est, enc, exact in finalists:
+        framed = _frame_exact(enc, exact)
+        nb = sum(len(fb) for _, _, fb in framed)
+        if best_framed is None or nb < best_bytes:
+            best_framed, best_enc, best_bytes = framed, enc, nb
+    return ColumnChoice(encoded=best_enc, framed=best_framed,
+                        raw_bytes=_raw_size(arr), enc_bytes=best_bytes)
