@@ -255,7 +255,8 @@ def logical_str(t: pa.DataType) -> str:
     """Canonical logical-type string (the engine's format-string analog of
     the reference's type switch, /root/reference/src/flatbuffer_utils.cpp:86-447)."""
     if pa.types.is_map(t):
-        return f"map<{logical_str(t.key_type)}, {logical_str(t.item_type)}>"
+        sorted_tag = ", keys_sorted" if t.keys_sorted else ""
+        return f"map<{logical_str(t.key_type)}, {logical_str(t.item_type)}{sorted_tag}>"
     if pa.types.is_fixed_size_list(t):
         return f"fixed_size_list<{logical_str(t.value_type)}, {t.list_size}>"
     if pa.types.is_large_list(t):
@@ -285,8 +286,12 @@ def dtype_from_logical(logical: str) -> pa.DataType:
             child, k = body, int(tail[:-1])
         return pa.list_(dtype_from_logical(_strip_field_name(child)), k)
     if logical.startswith("map<") and logical.endswith(">"):
-        kt, vt = split_top_level(logical[4:-1])
-        return pa.map_(dtype_from_logical(kt), dtype_from_logical(vt))
+        parts = split_top_level(logical[4:-1])
+        keys_sorted = len(parts) == 3 and parts[2] == "keys_sorted"
+        # the reference preserves keysSorted through the round trip
+        # (/root/reference/src/flatbuffer_utils.cpp:383-388)
+        return pa.map_(dtype_from_logical(parts[0]), dtype_from_logical(parts[1]),
+                       keys_sorted=keys_sorted)
     if logical.startswith("fixed_size_binary[") and logical.endswith("]"):
         return pa.binary(int(logical[18:-1]))
     if logical.startswith("decimal128(") or logical.startswith("decimal("):
