@@ -13,5 +13,14 @@ from sparrow_ipc_spark.codecs.base import (  # noqa: F401
     decompress_buffer,
     encode_column,
 )
-from sparrow_ipc_spark.codecs import dictionary, forbp, fsst, listcodec, raw, rle, structcodec  # noqa: F401
+from sparrow_ipc_spark.codecs import (  # noqa: F401
+    decimalcodec,
+    dictionary,
+    forbp,
+    fsst,
+    listcodec,
+    raw,
+    rle,
+    structcodec,
+)
 from sparrow_ipc_spark.codecs.selector import select_and_encode  # noqa: F401

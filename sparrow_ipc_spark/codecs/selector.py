@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from sparrow_ipc_spark.codecs import base, forbp, listcodec, rle, structcodec
+from sparrow_ipc_spark.codecs import base, decimalcodec, forbp, listcodec, rle, structcodec
 
 # gates (tuned on the synthetic transcript distributions; conservative —
 # the exact argmin downstream corrects any shortlist mistake except a
@@ -52,6 +52,28 @@ def _data_bytes(arr: pa.Array) -> int:
         return 0
     odt = np.int64 if (pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)) else np.int32
     return int(np.frombuffer(ab[1], odt, count=n + 1)[-1])
+
+
+DISTINCT_SAMPLE = 8192
+
+
+def _distinct_count(arr: pa.Array) -> int:
+    """Distinct count for the dict/FSST gates, with a sample short-circuit.
+
+    Exact ``count_distinct`` hashes every value — 43 ms on a 71k-row free-
+    text column (27% of encode wall) just to learn "too many for dict".
+    A prefix sample of ``DISTINCT_SAMPLE`` values is checked first: if the
+    sample alone exceeds ``DICT_MAX_DISTINCT``, the full count can only be
+    higher and every gate that needs it (dict ≤4096, fsst >64) is already
+    decided.  Otherwise the exact count runs (cheap on low-cardinality
+    columns).  Pure function of chunk content → deterministic selection
+    across task retries."""
+    nn = arr.drop_null()
+    if len(nn) > DISTINCT_SAMPLE:
+        sample_d = pc.count_distinct(nn.slice(0, DISTINCT_SAMPLE)).as_py()
+        if sample_d > DICT_MAX_DISTINCT:
+            return int(sample_d)  # lower bound; above every gate already
+    return int(pc.count_distinct(nn).as_py())
 
 
 def _raw_size(arr: pa.Array) -> int:
@@ -98,7 +120,7 @@ def candidates_for(arr: pa.Array, ctx: dict) -> list[tuple[str, dict]]:
     if n == 0:
         return cands
     if pa.types.is_string(t) or pa.types.is_large_string(t):
-        distinct = pc.count_distinct(arr.drop_null()).as_py() if arr.null_count < n else 0
+        distinct = _distinct_count(arr) if arr.null_count < n else 0
         mean_run = n / max(1, len(rle.run_bounds(arr)))
         if distinct <= DICT_MAX_DISTINCT and distinct <= max(256, n * DICT_MAX_RATIO):
             gd = (ctx.get("global_dicts") or {})
@@ -125,6 +147,10 @@ def candidates_for(arr: pa.Array, ctx: dict) -> list[tuple[str, dict]]:
         cands.append(("rle", {}))
     elif pa.types.is_floating(t):
         cands.append(("float_shuffle", {}))
+    elif decimalcodec.applicable(t):
+        lo = decimalcodec.unscaled_int64(arr)
+        mono = float((np.diff(lo) >= 0).mean()) if n > 1 else 1.0
+        cands.append(("dec_for", {"delta": mono >= DELTA_MONOTONIC_FRAC}))
     return cands
 
 

@@ -144,6 +144,48 @@ def test_new_scalar_roundtrip(name):
     full_roundtrip(SCALAR_CASES[name])
 
 
+DEC_NARROW_CASES = {
+    # random-ish amounts with nulls and negatives (precision 10 → int64 path)
+    "amounts": pa.array(
+        [None if i % 11 == 0 else __import__("decimal").Decimal((-1) ** i * i * 137) / 100
+         for i in range(300)],
+        type=pa.decimal128(10, 2)),
+    # monotonic accruals → delta mode inside dec_for
+    "monotonic": pa.array(
+        [__import__("decimal").Decimal(1_000_000 + i * 25) / 100 for i in range(300)],
+        type=pa.decimal128(18, 2)),
+    "all_null": pa.array([None] * 20, type=pa.decimal128(9, 0)),
+    "empty": pa.array([], type=pa.decimal128(5, 1)),
+    "extremes": pa.array(
+        [__import__("decimal").Decimal(10**18 - 1), __import__("decimal").Decimal(-(10**18 - 1)),
+         None, __import__("decimal").Decimal(0)],
+        type=pa.decimal128(18, 0)),
+}
+
+
+@pytest.mark.parametrize("name", list(DEC_NARROW_CASES))
+def test_decimal_narrow_roundtrip(name):
+    """decimal128(p≤18) round-trips through dec_for (the decimal32/64 parity
+    path, /root/reference/src/flatbuffer_utils.cpp:408-423) at under the
+    16 B/row raw layout."""
+    arr = DEC_NARROW_CASES[name]
+    codec = full_roundtrip(arr)
+    if len(arr) and arr.null_count < len(arr):
+        choice = selector.select_and_encode(arr, {"col_name": "c"})
+        raw_enc = base.encode_column("raw", arr, {})
+        assert choice.encoded.payload_bytes <= raw_enc.payload_bytes
+        if name in ("amounts", "monotonic", "extremes"):
+            assert codec == "dec_for", codec
+
+
+def test_decimal_wide_stays_raw():
+    from decimal import Decimal
+
+    arr = pa.array([Decimal(10**25) / 100, None, Decimal(-(10**24))],
+                   type=pa.decimal128(30, 2))
+    assert full_roundtrip(arr) == "raw"  # precision > 18: no narrow path
+
+
 def test_fixed_size_binary_roundtrip_and_invariant():
     arr = pa.array([b"abcde", b"fghij", None, b"12345"] * 10, type=pa.binary(5))
     assert full_roundtrip(arr) == "raw"
