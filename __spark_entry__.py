@@ -472,6 +472,55 @@ _SQL["nested_decode"] = (
 )
 
 
+# --- pipeline composition: decontamination / sampling / filtering ----------
+# Spark side runs functions.pipeline (DataFrame API, codegen-only); the
+# first tuple element is unused for these names (queries() overrides them).
+
+_DECONTAMINATE_DUCK = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS gram
+  FROM toks, UNNEST(range(0, greatest(len(t) - 5, 0) + 1)) u(i)
+)
+SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM grams c JOIN grams b ON c.gram = b.gram
+WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+GROUP BY c.doc_id, b.doc_id
+"""
+_SQL["decontaminate"] = (_DECONTAMINATE_DUCK, _DECONTAMINATE_DUCK)
+
+_STRATIFIED_DUCK = """
+SELECT doc_id, lang AS stratum, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+  CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN '8000'
+            WHEN 'fr' THEN '8000' WHEN 'es' THEN '8000' ELSE 'ffff' END
+"""
+_SQL["stratified_sample"] = (_STRATIFIED_DUCK, _STRATIFIED_DUCK)
+
+_QUALITY_FILTER_DUCK = """
+SELECT doc_id, reason, reason = 'ok' AS keep
+FROM (
+  SELECT doc_id,
+    CASE WHEN text IS NULL THEN 'null_text'
+         WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END) < 5
+           THEN 'too_short'
+         WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END) > 2000
+           THEN 'too_long'
+         WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+              / greatest(length(text), 1) < 0.6 THEN 'low_alpha'
+         ELSE 'ok' END AS reason
+  FROM documents
+)
+"""
+_SQL["quality_filter"] = (_QUALITY_FILTER_DUCK, _QUALITY_FILTER_DUCK)
+
+
 def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _views(spark, sf_dir)
@@ -685,6 +734,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_fingerprint"] = _fn_query(X.doc_fingerprint)
     # oracle-checked operators whose Spark side is engine machinery
     out["simhash"] = _fn_query(D.simhash_md5)
+    # pipeline composition ops (functions.pipeline, codegen-only)
+    from sparrow_ipc_spark.functions import pipeline as P
+
+    out["decontaminate"] = _fn_query(P.decontaminate)
+    out["stratified_sample"] = _fn_query(P.stratified_sample)
+    out["quality_filter"] = _fn_query(P.quality_filter)
     out["ngram_jaccard_lsh"] = _ngram_jaccard_lsh
     out["embedding_dedup"] = _embedding_dedup
     out["map_decode"] = _map_decode

@@ -1,0 +1,100 @@
+"""Training-data pipeline composition operators: benchmark
+decontamination, deterministic stratified sampling, quality filtering.
+
+All pure built-in expressions (whole-stage codegen, no Python UDFs).
+Scale notes per operator are in the docstrings — each is a
+shuffle-bounded DataFrame plan that survives a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _word_ngrams(docs: DataFrame, n: int, id_col: str = "doc_id",
+                 col: str = "text") -> DataFrame:
+    """Distinct word n-grams per document: (id_col, gram)."""
+    t = F.split(F.trim(F.col(col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+    )
+    return (
+        docs.where(F.col(col).isNotNull() & (F.length(F.trim(F.col(col))) > 0))
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .distinct()
+    )
+
+
+def decontaminate(docs: DataFrame, n: int = 5, bench_mod: int = 97) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 word ``n``-gram
+    with a benchmark document (here: every ``bench_mod``-th doc stands in
+    for the eval set).  Returns (corpus_id, bench_id, n_shared) pairs.
+
+    100 TB shape: the n-gram join is blocked on the gram value — one
+    shuffle each side, no all-pairs; the benchmark side of a real run is
+    small enough to broadcast, and gram-frequency skew is bounded because
+    grams are ``n`` words long (hapax-dominated at n ≥ 5)."""
+    is_bench = (F.col("doc_id") % bench_mod) == 0
+    grams = _word_ngrams(docs, n)
+    bench = grams.where(is_bench).select(F.col("doc_id").alias("bench_id"), "gram")
+    corpus = grams.where(~is_bench).select(F.col("doc_id").alias("corpus_id"), "gram")
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+# per-stratum keep thresholds: a doc is kept when the first 4 hex chars of
+# md5(doc_id) sort below the threshold — a pure, engine-portable function
+# of the id (no RNG, no sampleBy seed dependence), so the sample is
+# reproducible across retries, engines, and cluster sizes
+DEFAULT_STRATA_RATES = {"en": 0.25, "de": 0.5, "fr": 0.5, "es": 0.5}
+FALLBACK_RATE = 1.0
+
+
+def _hex_threshold(rate: float) -> str:
+    return format(min(65535, int(rate * 65536)), "04x")
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float] | None = None,
+                      stratum_col: str = "lang") -> DataFrame:
+    """Deterministic stratified down-sampling by ``stratum_col``:
+    keep doc when substr(md5(doc_id), 1, 4) < hex(rate · 2^16).
+
+    The workhorse of corpus mixing (down-weight over-represented
+    languages/sources).  Stateless map — no shuffle at all; the sampled
+    fraction concentrates per-stratum within ±ε of the target at corpus
+    scale because md5 is uniform on ids."""
+    rates = rates or DEFAULT_STRATA_RATES
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = F.lit(_hex_threshold(FALLBACK_RATE))
+    for stratum, rate in reversed(sorted(rates.items())):
+        thr = F.when(F.col(stratum_col) == stratum,
+                     F.lit(_hex_threshold(rate))).otherwise(thr)
+    return (
+        docs.where(h < thr)
+        .select("doc_id", F.col(stratum_col).alias("stratum"), h.alias("bucket"))
+    )
+
+
+def quality_filter(docs: DataFrame, min_tokens: int = 5, max_tokens: int = 2000,
+                   min_alpha_ratio: float = 0.6) -> DataFrame:
+    """Filter verdict per document with the first failing reason:
+    null_text | too_short | too_long | low_alpha | ok.  Codegen-only."""
+    t = F.trim(F.col("text"))
+    n_tok = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    n_chars = F.length(F.col("text"))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    reason = (
+        F.when(F.col("text").isNull(), F.lit("null_text"))
+        .when(n_tok < min_tokens, F.lit("too_short"))
+        .when(n_tok > max_tokens, F.lit("too_long"))
+        .when(alpha_ratio < min_alpha_ratio, F.lit("low_alpha"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
+    )

@@ -1,0 +1,72 @@
+"""Pipeline composition operators: decontamination, stratified sampling,
+quality filtering — semantics on planted inputs + physical-plan audits."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparrow_ipc_spark.functions import pipeline as P
+from sparrow_ipc_spark.plans import audit
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    for i in range(300):
+        if i % 97 == 0:
+            text = bench_text  # benchmark docs (doc_id % 97 == 0)
+        elif i == 5:
+            # contaminated: contains the benchmark 5-grams verbatim
+            text = "intro words " + bench_text + " trailing words"
+        elif i == 6:
+            text = None
+        elif i == 7:
+            text = "tiny"
+        elif i == 8:
+            text = "!!! ??? ... ;;; ::: @@@ ###"  # low alpha
+        else:
+            text = f"document number {i} with enough plain words to pass the filter easily"
+        rows.append((i, text, ["en", "de", "fr", "es"][i % 4], f"src{i % 3}"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).cache()
+
+
+def test_decontaminate_finds_planted_overlap(docs):
+    out = P.decontaminate(docs, n=5, bench_mod=97).collect()
+    hits = {(r["corpus_id"], r["bench_id"]) for r in out}
+    # doc 5 shares all 4 benchmark 5-grams with every benchmark doc
+    assert all((5, b) in hits for b in (0, 97, 194))
+    by_pair = {(r["corpus_id"], r["bench_id"]): r["n_shared"] for r in out}
+    assert by_pair[(5, 0)] == 4  # 8-token bench text → 4 distinct 5-grams
+    # clean docs share nothing
+    assert all(c == 5 for c, _ in hits)
+
+
+def test_stratified_sample_rates_and_determinism(docs):
+    out1 = P.stratified_sample(docs).collect()
+    out2 = P.stratified_sample(docs).collect()
+    assert sorted(r["doc_id"] for r in out1) == sorted(r["doc_id"] for r in out2)
+    kept = {r["doc_id"] for r in out1}
+    assert 0 < len(kept) < 300
+    for r in out1:  # every kept row respects its stratum threshold
+        thr = "4000" if r["stratum"] == "en" else "8000"
+        assert r["bucket"] < thr
+    # no shuffle: a pure stateless map
+    audit.assert_no_shuffle(P.stratified_sample(docs), "stratified_sample")
+
+
+def test_quality_filter_reasons(docs):
+    out = {r["doc_id"]: r for r in P.quality_filter(docs).collect()}
+    assert out[6]["reason"] == "null_text" and not out[6]["keep"]
+    assert out[7]["reason"] == "too_short"
+    assert out[8]["reason"] == "low_alpha"
+    assert out[10]["reason"] == "ok" and out[10]["keep"]
+    audit.assert_no_shuffle(P.quality_filter(docs), "quality_filter")
+
+
+def test_decontaminate_no_cartesian(docs):
+    plan = audit.simple_plan(P.decontaminate(docs, n=5))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
