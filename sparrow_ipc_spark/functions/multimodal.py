@@ -129,6 +129,48 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     return df.where(df["kind"] == "image").mapInPandas(rs, schema=MEDIA_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("rms", T.FloatType(), False),
+        T.StructField("peak", T.FloatType(), False),
+        T.StructField("zero_cross_rate", T.FloatType(), False),
+    ]
+)
+
+
+def _decode_audio_fake(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in decoder: payload bytes viewed as PCM int16
+    (a real build swaps in soundfile/ffmpeg, same signature)."""
+    n = len(payload) // 2
+    if n == 0:
+        return np.zeros(1, dtype=np.int16)
+    return np.frombuffer(payload, dtype=np.int16, count=n)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Per-clip audio features (RMS, peak, zero-crossing rate) via
+    Arrow-batched mapInPandas — completes the image/audio/video triad;
+    per-clip decode is inherently per-element Python, vectorized inside."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(
+                pdf["media_id"].to_numpy(), pdf["payload"].to_numpy()
+            ):
+                pcm = _decode_audio_fake(payload).astype(np.float32) / 32768.0
+                zc = float((np.signbit(pcm[1:]) != np.signbit(pcm[:-1])).mean()) if len(pcm) > 1 else 0.0
+                out.append(
+                    (int(mid), len(pcm), float(np.sqrt((pcm ** 2).mean())),
+                     float(np.abs(pcm).max()), zc)
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return df.where(df["kind"] == "audio").mapInPandas(feats, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: emits one row per sampled
     timestamp with a deterministic fake frame payload."""

@@ -129,3 +129,12 @@ def test_multimodal_plumbing(spark):
     # real decode path is stubbed: must raise loudly, not silently fake
     with pytest.raises(Exception):
         multimodal.image_features(media, use_real_decode=True).collect()
+    audio = multimodal.audio_features(media).collect()
+    assert len(audio) == 10  # every 3rd row is audio
+    assert all(
+        0 <= r["rms"] <= 1.0001 and 0 <= r["peak"] <= 1.0001
+        and 0 <= r["zero_cross_rate"] <= 1 and r["n_samples"] >= 1
+        for r in audio
+    )
+    audio2 = multimodal.audio_features(media).collect()
+    assert sorted(map(tuple, audio)) == sorted(map(tuple, audio2))
