@@ -69,3 +69,14 @@ def test_list_of_struct_property(vals):
 def test_uniform_float_lists_property(vals):
     # uniform lengths: the fixed_list codec path
     _roundtrip(pa.array(vals, type=pa.list_(pa.float32())))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.integers(-(10**18 - 1), 10**18 - 1)),
+                max_size=50))
+def test_decimal_narrow_property(unscaled):
+    # dec_for: any decimal128(18,2) value must survive the narrow int64 path
+    from decimal import Decimal
+
+    vals = [None if v is None else Decimal(v).scaleb(-2) for v in unscaled]
+    _roundtrip(pa.array(vals, type=pa.decimal128(18, 2)))
