@@ -48,5 +48,7 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # Python Data Source zone-map pushdown (sources/datasource.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     return builder.getOrCreate()

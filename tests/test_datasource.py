@@ -1,0 +1,97 @@
+"""Spark Python Data Source surface: schema inference, full-table read,
+filter pushdown into zone maps, column pruning via option."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from sparrow_ipc_spark.sources.datasource import (
+    SparrowIPCDataSource,
+    _survives,
+    _to_us,
+)
+
+
+@pytest.fixture(scope="module")
+def enc_dir(spark, tmp_path_factory):
+    from sparrow_ipc_spark.operators.encode_job import write_encoded
+    from sparrow_ipc_spark.sources.transcripts import transcripts_df
+
+    out = str(tmp_path_factory.mktemp("ds") / "enc")
+    df = transcripts_df(spark, n_convs=120, seed=42).cache()
+    write_encoded(spark, df, out, n_parts=6)
+    spark.dataSource.register(SparrowIPCDataSource)
+    return out, df
+
+
+def test_datasource_full_read(spark, enc_dir):
+    out, df = enc_dir
+    got = spark.read.format("sparrow_ipc").load(out)
+    assert [f.name for f in got.schema.fields] == \
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert got.count() == df.count()
+    assert df.exceptAll(got).count() == 0 and got.exceptAll(df).count() == 0
+
+
+def test_datasource_filter_pushdown_correct(spark, enc_dir):
+    out, df = enc_dir
+    some_conv = df.select("conv_id").orderBy("conv_id").limit(1).collect()[0][0]
+    got = (
+        spark.read.format("sparrow_ipc").load(out)
+        .where(f"conv_id = '{some_conv}' AND turn_idx >= 2")
+    )
+    want = df.where(f"conv_id = '{some_conv}' AND turn_idx >= 2")
+    assert got.count() == want.count() > 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_datasource_column_pruning(spark, enc_dir):
+    out, df = enc_dir
+    got = (
+        spark.read.format("sparrow_ipc").option("columns", "conv_id,turn_idx").load(out)
+    )
+    assert [f.name for f in got.schema.fields] == ["conv_id", "turn_idx"]
+    assert got.count() == df.count()
+
+
+def test_survives_zone_logic():
+    row = {
+        "columns": [
+            {"name": "turn_idx", "zmin_int": 10, "zmax_int": 20,
+             "zmin_num": None, "zmax_num": None, "zmin_str": None, "zmax_str": None},
+            {"name": "conv_id", "zmin_str": "conv_a", "zmax_str": "conv_m",
+             "zmin_int": None, "zmax_int": None, "zmin_num": None, "zmax_num": None},
+        ]
+    }
+    assert _survives(row, {})
+    assert _survives(row, {"turn_idx": (15, 15)})
+    assert not _survives(row, {"turn_idx": (21, None)})
+    assert not _survives(row, {"turn_idx": (None, 9)})
+    assert not _survives(row, {"conv_id": ("conv_z", None)})
+    assert _survives(row, {"conv_id": ("conv_b", "conv_c")})
+    # unknown column / missing stats: conservative keep
+    assert _survives(row, {"nope": (1, 2)})
+    # type-mismatched bound never prunes
+    assert _survives(row, {"turn_idx": ("abc", None)})
+
+
+def test_to_us_datetime():
+    dt = datetime.datetime(2025, 1, 1, tzinfo=datetime.timezone.utc)
+    assert _to_us(dt) == 1735689600_000_000
+    assert _to_us(datetime.datetime(2025, 1, 1)) == 1735689600_000_000  # naive = UTC
+    assert _to_us(datetime.date(1970, 1, 2)) == 1
+    assert _to_us(7) == 7
+
+
+def test_datasource_ts_range_filter(spark, enc_dir):
+    out, df = enc_dir
+    from pyspark.sql import functions as F
+
+    mid = df.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    cut = datetime.datetime.fromtimestamp(mid / 1e6, tz=datetime.timezone.utc)
+    lit = cut.strftime("%Y-%m-%d %H:%M:%S")
+    got = spark.read.format("sparrow_ipc").load(out).where(f"ts >= TIMESTAMP '{lit}'")
+    want = df.where(f"ts >= TIMESTAMP '{lit}'")
+    assert got.count() == want.count() > 0
