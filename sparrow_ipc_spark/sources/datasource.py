@@ -31,6 +31,7 @@ from typing import Any
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -162,26 +163,82 @@ class SparrowIPCReader(DataSourceReader):
         return [_FilePartition(f) for f in _blocks_files(self.path)]
 
     def read(self, partition: _FilePartition) -> Iterator:
-        import pyarrow.parquet as pq
+        yield from _decode_file_rows(
+            partition.file, self.fields, self.columns, self.dict_rows,
+            bounds=self.bounds,
+        )
 
-        from sparrow_ipc_spark.operators import blocks as B
-        from sparrow_ipc_spark.operators.decode_job import load_dict_values
 
-        ctx = {"dict_values": load_dict_values(self.dict_rows)}
-        out_names = [n for n, _ in self.fields
-                     if self.columns is None or n in self.columns]
-        pf = pq.ParquetFile(partition.file)
-        for batch in pf.iter_batches(batch_size=16):
-            names = batch.schema.names
-            body_col = batch.column(names.index("body"))
-            for i in range(batch.num_rows):
-                row = {n: batch.column(names.index(n))[i].as_py()
-                       for n in names if n != "body"}
-                if not _survives(row, self.bounds):
-                    continue
-                row["body"] = memoryview(body_col[i].as_buffer())
-                tbl = B.decode_block(row, ctx, columns=self.columns)
-                yield from tbl.select(out_names).to_batches()
+def _decode_file_rows(file: str, fields, columns, dict_rows,
+                      bounds=None) -> Iterator:
+    """Shared block-file decode kernel for the batch and stream readers."""
+    import pyarrow.parquet as pq
+
+    from sparrow_ipc_spark.operators import blocks as B
+    from sparrow_ipc_spark.operators.decode_job import load_dict_values
+
+    ctx = {"dict_values": load_dict_values(dict_rows)}
+    out_names = [n for n, _ in fields if columns is None or n in columns]
+    pf = pq.ParquetFile(file)
+    for batch in pf.iter_batches(batch_size=16):
+        names = batch.schema.names
+        body_col = batch.column(names.index("body"))
+        for i in range(batch.num_rows):
+            row = {n: batch.column(names.index(n))[i].as_py()
+                   for n in names if n != "body"}
+            if bounds and not _survives(row, bounds):
+                continue
+            row["body"] = memoryview(body_col[i].as_buffer())
+            tbl = B.decode_block(row, ctx, columns=columns)
+            yield from tbl.select(out_names).to_batches()
+
+
+@dataclass
+class _StreamPartition(InputPartition):
+    file: str
+    dict_rows: list
+
+
+class SparrowIPCStreamReader(DataSourceStreamReader):
+    """Incremental decode of a growing block directory: each micro-batch
+    decodes the parquet block files not yet committed to the checkpoint.
+    Block files are immutable once written (`write_encoded` append mode
+    only adds new part files), so the file set IS the offset — the
+    streaming analog of the reference's incremental deserializer
+    (/root/reference/src/deserialize.cpp:406-537 consuming messages as
+    they arrive)."""
+
+    def __init__(self, options: dict, fields: list[tuple[str, str]]):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sparrow_ipc requires a path: .load(out_dir)")
+        cols_opt = options.get("columns")
+        self.columns = ([c.strip() for c in cols_opt.split(",")] if cols_opt else None)
+        self.fields = fields
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {"seen": [os.path.basename(f) for f in _blocks_files(self.path)]}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        if not new:
+            return []
+        # dictionary snapshot rides in the partition: delta rows appended
+        # after these blocks were written merge by version on decode
+        dict_rows = _load_dict_rows(self.path)
+        d = os.path.join(self.path, "blocks")
+        return [_StreamPartition(os.path.join(d, f), dict_rows) for f in new]
+
+    def read(self, partition: _StreamPartition) -> Iterator:
+        yield from _decode_file_rows(
+            partition.file, self.fields, self.columns, partition.dict_rows
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class SparrowIPCDataSource(DataSource):
@@ -207,3 +264,6 @@ class SparrowIPCDataSource(DataSource):
 
     def reader(self, schema) -> SparrowIPCReader:
         return SparrowIPCReader(dict(self.options), self._fields)
+
+    def streamReader(self, schema) -> SparrowIPCStreamReader:
+        return SparrowIPCStreamReader(dict(self.options), self._fields)

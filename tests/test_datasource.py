@@ -85,6 +85,46 @@ def test_to_us_datetime():
     assert _to_us(7) == 7
 
 
+def test_datasource_stream_incremental(spark, enc_dir, tmp_path_factory):
+    """readStream over the block dir: first availableNow batch decodes all
+    committed blocks; after an append write, a restart from the same
+    checkpoint decodes ONLY the new part files."""
+    from pyspark.sql import functions as F
+
+    from sparrow_ipc_spark.operators.encode_job import write_encoded
+    from sparrow_ipc_spark.sources.transcripts import transcripts_df
+
+    base = tmp_path_factory.mktemp("ds_stream")
+    out = str(base / "enc")
+    ckpt = str(base / "ckpt")
+    df1 = transcripts_df(spark, n_convs=40, seed=7).cache()
+    write_encoded(spark, df1, out, n_parts=4)
+
+    sink = str(base / "sink")
+
+    def run_batch():
+        q = (
+            spark.readStream.format("sparrow_ipc").load(out)
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink)
+
+    got1 = run_batch()
+    n1 = df1.count()
+    assert got1.count() == n1
+    assert df1.exceptAll(got1).count() == 0
+
+    df2 = transcripts_df(spark, n_convs=25, seed=99).cache()
+    # seed-99 conv_ids differ from seed-7: appended rows are disjoint
+    write_encoded(spark, df2, out, n_parts=4, append=True)
+    got2 = run_batch()  # same checkpoint: decodes ONLY the new blocks
+    assert got2.count() == n1 + df2.count()
+    assert df2.exceptAll(got2).count() == 0 and df1.exceptAll(got2).count() == 0
+
+
 def test_datasource_ts_range_filter(spark, enc_dir):
     out, df = enc_dir
     from pyspark.sql import functions as F
