@@ -68,8 +68,21 @@ def compact_blocks(
     os.rename(tmp, f"{out_dir}/blocks")
     shutil.rmtree(old, ignore_errors=True)
 
+    # compaction is a REWRITE: compacted part files are gone, so time travel
+    # reaches back only to this new snapshot for the merged rows; untouched
+    # parts keep their original snapshot lineage
+    try:
+        prev_man = {
+            int(r["part_id"]): int(r.asDict().get("snapshot", 0) or 0)
+            for r in spark.read.parquet(f"{out_dir}/manifest").collect()
+        }
+    except Exception:
+        prev_man = {}
+    next_snap = (max(prev_man.values()) + 1) if prev_man else 0
     written = spark.read.parquet(f"{out_dir}/blocks").drop("body")
-    man_rows = manifest_from_blocks(written).collect()
+    man_rows = [r.asDict() for r in manifest_from_blocks(written).collect()]
+    for r in man_rows:
+        r["snapshot"] = prev_man.get(int(r["part_id"]), next_snap)
     spark.createDataFrame(man_rows, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/manifest")

@@ -161,6 +161,24 @@ def decode_blocks(
     return blocks_df.mapInArrow(decode_fn, schema=out_schema)
 
 
+def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-snapshot lineage summary (the Iceberg snapshot-log analog):
+    which write committed which partitions, with row/byte totals."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(f"{out_dir}/manifest")
+        .groupBy("snapshot")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.collect_set("part_id").alias("part_ids"),
+        )
+        .orderBy("snapshot")
+    )
+
+
 def decode_dir(
     spark: SparkSession,
     out_dir: str,
@@ -168,8 +186,18 @@ def decode_dir(
     columns: list[str] | None = None,
     conv_id: str | None = None,
     ts_range_us: tuple[int, int] | None = None,
+    snapshot: int | None = None,
 ) -> DataFrame:
+    """``snapshot=K`` time-travels: only partitions committed by write jobs
+    ≤ K are decoded (append-mode writes never rewrite committed parts, so
+    the result is exactly the table as of that write; compaction rewrites
+    and therefore resets history for the parts it merges)."""
     blocks_df = spark.read.parquet(f"{out_dir}/blocks")
+    if snapshot is not None:
+        man = spark.read.parquet(f"{out_dir}/manifest")
+        ids = [int(r["part_id"]) for r in
+               man.where(man["snapshot"] <= int(snapshot)).select("part_id").collect()]
+        blocks_df = blocks_df.where(blocks_df["part_id"].isin(ids))
     blocks_df = prune_blocks(blocks_df, conv_id=conv_id, ts_range_us=ts_range_us)
     dict_rows = [r.asDict() for r in spark.read.parquet(f"{out_dir}/dictionaries").collect()]
     df = decode_blocks(spark, blocks_df, dict_rows, schema, columns=columns)

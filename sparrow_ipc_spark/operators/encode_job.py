@@ -471,10 +471,18 @@ def write_encoded(
     mode = "overwrite"
     part_offset = 0
     prev_dicts: list[dict] | None = None
+    prev_snapshots: dict[int, int] = {}  # part_id → snapshot that committed it
+    this_snapshot = 0
     if resume or append:
         try:
             prev = spark.read.parquet(f"{out_dir}/manifest")
-            part_ids = {int(r["part_id"]) for r in prev.select("part_id").collect()}
+            prev_rows = prev.collect()
+            part_ids = {int(r["part_id"]) for r in prev_rows}
+            prev_snapshots = {
+                int(r["part_id"]): int(r.asDict().get("snapshot", 0) or 0)
+                for r in prev_rows
+            }
+            this_snapshot = (max(prev_snapshots.values()) + 1) if prev_snapshots else 0
             mode = "append"
             prev_dicts = [
                 r.asDict() for r in spark.read.parquet(f"{out_dir}/dictionaries").collect()
@@ -511,8 +519,13 @@ def write_encoded(
     # ONE post-pass over the (small) written block metadata: per-partition
     # manifest rows collected to the driver, totals derived from them, tiny
     # manifest written back via createDataFrame — no second scan job.
+    # Each row carries the snapshot that committed its partition: parts
+    # already present keep their original snapshot, freshly-encoded parts
+    # get this write's snapshot (Iceberg-snapshot lineage → time travel).
     written = spark.read.parquet(f"{out_dir}/blocks").drop("body")
-    man_rows = manifest_from_blocks(written).collect()
+    man_rows = [r.asDict() for r in manifest_from_blocks(written).collect()]
+    for r in man_rows:
+        r["snapshot"] = prev_snapshots.get(int(r["part_id"]), this_snapshot)
     spark.createDataFrame(man_rows, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/manifest")
@@ -522,6 +535,7 @@ def write_encoded(
         "raw_bytes": sum(r["raw_bytes"] for r in man_rows),
         "enc_bytes": sum(r["enc_bytes"] for r in man_rows),
         "skipped_parts": len(skip),
+        "snapshot": this_snapshot,
     }
 
 

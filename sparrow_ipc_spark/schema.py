@@ -154,6 +154,10 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("enc_bytes", T.LongType(), False),
         T.StructField("codec_summary", T.StringType(), False),
         T.StructField("status", T.StringType(), False),
+        # write-job index that committed this partition (Iceberg-snapshot
+        # analog): monotonically increasing per write_encoded call, enables
+        # time-travel decode (decode_dir(..., snapshot=K))
+        T.StructField("snapshot", T.LongType(), False),
     ]
 )
 
