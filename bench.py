@@ -210,9 +210,10 @@ def main() -> None:
     n_convs = max(200, int(sf * CONVS_PER_SF))
 
     # scaling evidence: same fused job, same deterministic input, N vs 4N
-    # threads.  Probe size is sf-independent (≥100k convs ≈ 1.7M turns):
-    # below that the job is overhead-bound and the ratio is meaningless.
-    probe_convs = max(100_000, n_convs // 2)
+    # threads.  Probe size is sf-independent (≥300k convs ≈ 5.2M turns):
+    # after the vectorized-generator rewrite the fused job runs ~3× faster,
+    # so smaller probes are task-overhead-bound and the ratio is meaningless.
+    probe_convs = max(300_000, n_convs // 2)
     walls4, walls16, frows = timed_fused_pair(4, 16, probe_convs)
     eff_4_16 = (min(walls4) / min(walls16)) / 4
     walls8, walls32, _ = timed_fused_pair(8, CPUS, probe_convs)

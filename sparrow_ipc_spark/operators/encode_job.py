@@ -367,6 +367,7 @@ def encode_generated(
     processes.  Output blocks are identical in schema/semantics to
     ``encode_transcripts`` (clustered path).
     """
+    from sparrow_ipc_spark.schema import arrow_block_schema
     from sparrow_ipc_spark.sources import transcripts as T
 
     parallelism = parallelism or spark.sparkContext.defaultParallelism * 3
@@ -374,7 +375,7 @@ def encode_generated(
     bc = spark.sparkContext.broadcast(payload)
     fields = TRANSCRIPT_FIELDS
 
-    def gen_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen_encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tc = TaskContext.get()
         part_id = tc.partitionId() if tc is not None else 0
         gdicts = {
@@ -382,30 +383,27 @@ def encode_generated(
             for c, e in bc.value.items()
         }
         ctx = {"global_dicts": gdicts}
-        vocab = T.build_vocab(seed)
-        probs = 1.0 / np.arange(1, len(vocab) + 1) ** 1.1
-        probs /= probs.sum()
-        phrases = T.build_phrases(vocab, seed)
-        tools = T.build_tools(seed)
+        gen = T.GenContext(seed)
+        out_schema = arrow_block_schema()
         seq = 0
-        pending: list[pd.DataFrame] = []
+        pending: list[dict] = []  # per-conversation raw draws
         pending_rows = 0
 
         def flush():
             nonlocal seq, pending, pending_rows
             if not pending_rows:
                 return None
-            pdf = pd.concat(pending, ignore_index=True) if len(pending) > 1 else pending[0]
+            batch = T.assemble_arrow(pending, gen.tables, gen.tools)
             pending, pending_rows = [], 0
-            row = blocks.encode_batch(pdf, fields, ctx, part_id, seq)
+            row = blocks.encode_batch_arrow(batch, fields, ctx, part_id, seq)
             seq += 1
-            return pd.DataFrame([row])
+            return pa.RecordBatch.from_pylist([row], schema=out_schema)
 
         for ids in batches:
-            for ci in ids["id"].to_numpy():
-                conv = T.gen_conversation(seed, int(ci), vocab, phrases, tools, probs)
-                pending.append(conv)
-                pending_rows += len(conv)
+            for ci in ids.column("id").to_numpy():
+                raw = gen.raw(int(ci))
+                pending.append(raw)
+                pending_rows += raw["n"]
                 if pending_rows >= batch_rows:
                     out = flush()
                     if out is not None:
@@ -415,7 +413,7 @@ def encode_generated(
             yield out
 
     base = spark.range(0, n_convs, numPartitions=min(parallelism, max(1, n_convs)))
-    return base.mapInPandas(gen_encode, schema=BLOCK_SCHEMA)
+    return base.mapInArrow(gen_encode, schema=BLOCK_SCHEMA)
 
 
 def manifest_from_blocks(blocks_df: DataFrame) -> DataFrame:

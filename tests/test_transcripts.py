@@ -35,3 +35,61 @@ def test_hot_conversation_knob():
     pdf = transcripts_pandas(4, seed=42, hot_every=2, hot_turns=500)
     sizes = pdf.groupby("conv_id").size()
     assert sizes.max() == 500
+
+
+def _legacy_conversation(seed, conv_idx, vocab, phrases, tools, word_probs,
+                         mean_turns=12, hot_every=0, hot_turns=5000):
+    """The original per-row ' '.join generator — the vectorized builder in
+    sources/transcripts.py must reproduce it byte-for-byte."""
+    from sparrow_ipc_spark.sources.transcripts import ROLES, ROLE_P, conv_turn_count
+
+    rng = np.random.default_rng([seed, conv_idx])
+    n = conv_turn_count(seed, conv_idx, mean_turns, hot_every, hot_turns)
+    conv_id = f"conv_{rng.integers(0, 2**32):08x}_{conv_idx:06d}"
+    roles = ROLES[rng.choice(4, size=n, p=ROLE_P)]
+    roles[0] = "system" if rng.random() < 0.3 else "user"
+    tool_vals = np.full(n, None, dtype=object)
+    tool_mask = (roles == "tool") | ((roles == "assistant") & (rng.random(n) < 0.08))
+    tool_vals[tool_mask] = tools[rng.integers(0, len(tools), size=int(tool_mask.sum()))]
+    n_words = np.clip(rng.lognormal(2.3, 0.9, size=n).astype(np.int64), 1, 400)
+    draws = rng.choice(len(vocab), size=int(n_words.sum()), p=word_probs)
+    pieces = np.split(vocab[draws], np.cumsum(n_words)[:-1])
+    texts = np.empty(n, dtype=object)
+    phrase_mask = rng.random(n) < 0.25
+    phrase_pick = rng.integers(0, len(phrases), size=n)
+    for i in range(n):
+        t = " ".join(pieces[i])
+        if phrase_mask[i]:
+            t = phrases[phrase_pick[i]] + " " + t
+        texts[i] = t
+    u = rng.random(n)
+    texts[u < 0.01] = None
+    texts[(u >= 0.01) & (u < 0.015)] = ""
+    start = 1735689600_000_000 + int(rng.integers(0, 365 * 86400)) * 1_000_000
+    deltas = rng.integers(1_000_000, 300_000_000, size=n)
+    ts_us = start + np.cumsum(deltas) - deltas[0]
+    return pd.DataFrame({
+        "conv_id": np.full(n, conv_id, dtype=object),
+        "turn_idx": np.arange(n, dtype=np.int32),
+        "role": roles, "text": texts, "tool": tool_vals,
+        "ts": pd.to_datetime(ts_us, unit="us"),
+    })
+
+
+def test_vectorized_builder_matches_legacy():
+    from sparrow_ipc_spark.sources.transcripts import (
+        build_phrases, build_tools, build_vocab, gen_conversation,
+    )
+
+    vocab = build_vocab(42)
+    probs = 1.0 / np.arange(1, len(vocab) + 1) ** 1.1
+    probs /= probs.sum()
+    phrases = build_phrases(vocab, 42)
+    tools = build_tools(42)
+    for ci in list(range(60)) + [1000, 54321]:
+        new = gen_conversation(42, ci, vocab, phrases, tools, probs)
+        old = _legacy_conversation(42, ci, vocab, phrases, tools, probs)
+        for c in ("conv_id", "turn_idx", "role", "text", "tool"):
+            assert list(new[c]) == list(old[c]), (ci, c)
+        assert (new["ts"].astype("datetime64[us]").to_numpy()
+                == old["ts"].astype("datetime64[us]").to_numpy()).all(), ci
