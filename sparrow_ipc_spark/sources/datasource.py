@@ -23,6 +23,7 @@ Registration: ``spark.dataSource.register(SparrowIPCDataSource)``.
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Iterator
 from dataclasses import dataclass
@@ -30,6 +31,7 @@ from typing import Any
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -39,6 +41,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 # (lo, hi) bound updates per filter type: closed-interval zone-map query
@@ -241,12 +244,186 @@ class SparrowIPCStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class _WriteMessage(WriterCommitMessage):
+    file: str
+    part_id: int
+    n_blocks: int
+    n_rows: int
+    raw_bytes: int
+    enc_bytes: int
+    codec_summary: str
+
+
+class SparrowIPCWriter(DataSourceArrowWriter):
+    """``df.write.format("sparrow_ipc").save(out_dir)`` — per-task encode
+    into staged block parquet files; commit() atomically publishes the
+    staged files plus a manifest built from the task commit messages (no
+    post-scan).  Uses block-local dictionaries only (the global
+    distinct-build stage needs a separate job — use
+    ``operators.encode_job.write_encoded`` for that); append mode offsets
+    part ids past the committed manifest, overwrite swaps the blocks dir."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        import uuid
+
+        from sparrow_ipc_spark.operators.encode_job import _logical_of_spark
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sparrow_ipc requires a path: .save(out_dir)")
+        self.overwrite = overwrite
+        self.fields = [(f.name, _logical_of_spark(f.dataType)) for f in schema.fields]
+        self.batch_rows = int(options.get("batch_rows", 65536))
+        self.staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:12]}")
+        self.part_offset = 0
+        self.prev_snapshots: dict[int, int] = {}
+        if not overwrite:
+            try:
+                import pyarrow.parquet as pq
+
+                man = pq.read_table(os.path.join(self.path, "manifest")).to_pylist()
+                self.prev_snapshots = {
+                    int(r["part_id"]): int(r.get("snapshot", 0) or 0) for r in man
+                }
+                if self.prev_snapshots:
+                    self.part_offset = max(self.prev_snapshots) + 1
+            except Exception:
+                pass
+
+    def write(self, batches) -> _WriteMessage:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        from sparrow_ipc_spark.operators import blocks as B
+        from sparrow_ipc_spark.schema import arrow_block_schema
+
+        tc = TaskContext.get()
+        part_id = self.part_offset + (tc.partitionId() if tc is not None else 0)
+        attempt = tc.taskAttemptId() if tc is not None else 0
+        ctx: dict = {"global_dicts": {}}
+        rows, pending, pending_rows, seq = [], [], 0, 0
+        codecs: set[tuple[str, str]] = set()
+
+        def flush():
+            nonlocal pending, pending_rows, seq
+            if not pending_rows:
+                return
+            tbl = pa.Table.from_batches(pending).combine_chunks()
+            pending, pending_rows = [], 0
+            batch = tbl.to_batches()[0] if tbl.num_rows else None
+            if batch is None:
+                return
+            row = B.encode_batch_arrow(batch, self.fields, ctx, part_id, seq)
+            seq += 1
+            for c in row["columns"]:
+                codecs.add((c["name"], c["codec"]))
+            rows.append(row)
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            pending.append(b)
+            pending_rows += b.num_rows
+            if pending_rows >= self.batch_rows:
+                flush()
+        flush()
+        os.makedirs(self.staging, exist_ok=True)
+        fname = f"part-{part_id:05d}-{attempt}.parquet"
+        out = pa.Table.from_pylist(rows, schema=arrow_block_schema())
+        pq.write_table(out, os.path.join(self.staging, fname), compression="zstd")
+        return _WriteMessage(
+            file=fname, part_id=part_id, n_blocks=len(rows),
+            n_rows=sum(r["n_rows"] for r in rows),
+            raw_bytes=sum(r["raw_bytes"] for r in rows),
+            enc_bytes=sum(r["enc_bytes"] for r in rows),
+            codec_summary=json.dumps([{"col": c, "codec": k} for c, k in sorted(codecs)]),
+        )
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        blocks_dir = os.path.join(self.path, "blocks")
+        if self.overwrite:
+            for sub in ("blocks", "dictionaries", "manifest"):
+                shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
+        os.makedirs(blocks_dir, exist_ok=True)
+        kept = {m.file for m in messages}
+        for f in kept:  # only files from SUCCESSFUL task attempts publish
+            os.replace(os.path.join(self.staging, f), os.path.join(blocks_dir, f))
+        shutil.rmtree(self.staging, ignore_errors=True)
+        snap = (max(self.prev_snapshots.values()) + 1) if self.prev_snapshots else 0
+        man_rows = [
+            {
+                "part_id": m.part_id, "n_blocks": m.n_blocks, "n_rows": m.n_rows,
+                "raw_bytes": m.raw_bytes, "enc_bytes": m.enc_bytes,
+                "codec_summary": m.codec_summary, "status": "committed",
+                "snapshot": snap,
+            }
+            for m in messages
+        ]
+        man_dir = os.path.join(self.path, "manifest")
+        prev = []
+        if not self.overwrite and os.path.isdir(man_dir):
+            prev = pq.read_table(man_dir).to_pylist()
+        man_schema = pa.schema(
+            [
+                ("part_id", pa.int32()), ("n_blocks", pa.int64()),
+                ("n_rows", pa.int64()), ("raw_bytes", pa.int64()),
+                ("enc_bytes", pa.int64()), ("codec_summary", pa.string()),
+                ("status", pa.string()), ("snapshot", pa.int64()),
+            ]
+        )
+        for r in prev:
+            r.setdefault("snapshot", 0)
+        tmp = man_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist(prev + man_rows, schema=man_schema),
+            os.path.join(tmp, "manifest.parquet"),
+        )
+        old = man_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(man_dir):
+            os.rename(man_dir, old)
+        os.rename(tmp, man_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        dict_dir = os.path.join(self.path, "dictionaries")
+        if not os.path.isdir(dict_dir):  # dict_local-only writes: empty table
+            os.makedirs(dict_dir, exist_ok=True)
+            dict_schema = pa.schema(
+                [
+                    ("dict_id", pa.int64()), ("col_name", pa.string()),
+                    ("is_delta", pa.bool_()), ("version", pa.int32()),
+                    ("n_values", pa.int32()), ("values_offsets", pa.binary()),
+                    ("values_data", pa.binary()),
+                ]
+            )
+            pq.write_table(pa.Table.from_pylist([], schema=dict_schema),
+                           os.path.join(dict_dir, "empty.parquet"))
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 class SparrowIPCDataSource(DataSource):
-    """Read-side data source over an encoded block directory."""
+    """Read/write data source over an encoded block directory."""
 
     def __init__(self, options: dict):
         super().__init__(options)
-        self._fields = _infer_fields(options["path"])
+        self._fields: list[tuple[str, str]] | None = None  # lazy: absent for writes
+
+    def _infer(self) -> list[tuple[str, str]]:
+        if self._fields is None:
+            self._fields = _infer_fields(self.options["path"])
+        return self._fields
 
     @classmethod
     def name(cls) -> str:
@@ -255,7 +432,7 @@ class SparrowIPCDataSource(DataSource):
     def schema(self):
         from sparrow_ipc_spark.operators.encode_job import spark_schema_for
 
-        fields = self._fields
+        fields = self._infer()
         cols_opt = self.options.get("columns")
         if cols_opt:
             keep = [c.strip() for c in cols_opt.split(",")]
@@ -263,7 +440,10 @@ class SparrowIPCDataSource(DataSource):
         return spark_schema_for(fields)
 
     def reader(self, schema) -> SparrowIPCReader:
-        return SparrowIPCReader(dict(self.options), self._fields)
+        return SparrowIPCReader(dict(self.options), self._infer())
 
     def streamReader(self, schema) -> SparrowIPCStreamReader:
-        return SparrowIPCStreamReader(dict(self.options), self._fields)
+        return SparrowIPCStreamReader(dict(self.options), self._infer())
+
+    def writer(self, schema, overwrite: bool) -> SparrowIPCWriter:
+        return SparrowIPCWriter(dict(self.options), schema, overwrite)

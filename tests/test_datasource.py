@@ -125,6 +125,32 @@ def test_datasource_stream_incremental(spark, enc_dir, tmp_path_factory):
     assert df2.exceptAll(got2).count() == 0 and df1.exceptAll(got2).count() == 0
 
 
+def test_datasource_writer_roundtrip(spark, tmp_path_factory):
+    """df.write.format('sparrow_ipc') → staged task files + manifest from
+    commit messages; read back via both decode_dir and the read surface."""
+    from sparrow_ipc_spark.operators.decode_job import decode_dir
+    from sparrow_ipc_spark.sources.transcripts import transcripts_df
+
+    spark.dataSource.register(SparrowIPCDataSource)
+    out = str(tmp_path_factory.mktemp("ds_write") / "enc")
+    df = transcripts_df(spark, n_convs=50, seed=13).repartition(4).cache()
+    df.write.format("sparrow_ipc").mode("overwrite").save(out)
+    back = spark.read.format("sparrow_ipc").load(out)
+    assert back.count() == df.count()
+    assert df.exceptAll(back).count() == 0
+    dec = decode_dir(spark, out)
+    assert dec.count() == df.count()
+    # append: new part ids, snapshot 1; time travel still sees only write 0
+    df2 = transcripts_df(spark, n_convs=20, seed=77).repartition(2).cache()
+    df2.write.format("sparrow_ipc").mode("append").save(out)
+    man = spark.read.parquet(f"{out}/manifest")
+    assert {r["snapshot"] for r in man.collect()} == {0, 1}
+    ids = [r["part_id"] for r in man.collect()]
+    assert len(ids) == len(set(ids))
+    assert spark.read.format("sparrow_ipc").load(out).count() == df.count() + df2.count()
+    assert decode_dir(spark, out, snapshot=0).count() == df.count()
+
+
 def test_datasource_ts_range_filter(spark, enc_dir):
     out, df = enc_dir
     from pyspark.sql import functions as F
