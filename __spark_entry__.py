@@ -520,6 +520,22 @@ FROM (
 """
 _SQL["quality_filter"] = (_QUALITY_FILTER_DUCK, _QUALITY_FILTER_DUCK)
 
+# full write→read proof through the Spark Data Source surface: the Spark
+# side pushes the events table through df.write.format("sparrow_ipc") and
+# reads it back with spark.read.format("sparrow_ipc"); the oracle computes
+# the same aggregate straight from the parquet — any encode/decode
+# corruption (values, nulls, timestamps) breaks the hash match
+_DATASOURCE_RT_DUCK = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user,
+       CAST(COUNT(props) AS BIGINT) AS n_props,
+       MIN(epoch_us(ts)) AS min_ts_us,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_mill
+FROM events GROUP BY event_type
+"""
+_SQL["datasource_roundtrip"] = (_DATASOURCE_RT_DUCK, _DATASOURCE_RT_DUCK)
+
 
 def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,6 +707,29 @@ def _nested_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → df.write.format('sparrow_ipc') → spark.read.format(...) →
+    aggregate; oracle aggregates the parquet directly."""
+    import hashlib
+    import tempfile
+
+    from sparrow_ipc_spark.sources.datasource import SparrowIPCDataSource
+
+    spark.dataSource.register(SparrowIPCDataSource)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"{tempfile.gettempdir()}/sparrow_entry_ds_{tag}"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.write.format("sparrow_ipc").mode("overwrite").save(out)
+    back = spark.read.format("sparrow_ipc").load(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("user_id").cast("long").alias("sum_user"),
+        F.count("props").cast("long").alias("n_props"),
+        F.min(F.unix_micros(F.col("ts"))).alias("min_ts_us"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("sum_value_mill"),
+    )
+
+
 def _ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified with exact word-3-gram Jaccard."""
     from sparrow_ipc_spark.functions.dedup import lsh_pairs, ngram_jaccard
@@ -744,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["embedding_dedup"] = _embedding_dedup
     out["map_decode"] = _map_decode
     out["nested_decode"] = _nested_decode
+    out["datasource_roundtrip"] = _datasource_roundtrip
     # engine-native / rows-only operators
     out["codec_roundtrip"] = _codec_roundtrip
     out["codec_selection"] = _codec_selection
