@@ -126,8 +126,12 @@ def pyarrow_ipc_proxy(src: str) -> dict:
         for batch in table.to_batches(max_chunksize=65536):
             w.write_batch(batch)
     wall = time.time() - t0
-    size = sink.getvalue().size
-    return {"wall_s": round(wall, 3), "bytes": int(size), "rows": table.num_rows}
+    buf = sink.getvalue()
+    t0 = time.time()
+    back = ipc.open_stream(buf).read_all()
+    dec_wall = time.time() - t0
+    return {"wall_s": round(wall, 3), "decode_wall_s": round(dec_wall, 3),
+            "bytes": int(buf.size), "rows": int(back.num_rows)}
 
 
 def time_queries(sf_dir: str) -> dict[str, float]:
