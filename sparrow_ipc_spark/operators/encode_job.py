@@ -263,9 +263,13 @@ def dict_row_for_values(col: str, vals: list[str], version: int, is_delta: bool)
     }
 
 
-def with_partition_key(df: DataFrame, salt_span: int = DEFAULT_SALT_SPAN) -> DataFrame:
-    """Salted partition key: hot conversations split by turn range."""
-    return df.withColumn("_salt", (F.col("turn_idx") / F.lit(salt_span)).cast("int"))
+def with_partition_key(df: DataFrame, salt_span: int = DEFAULT_SALT_SPAN,
+                       key_col: str = "conv_id", order_col: str | None = "turn_idx") -> DataFrame:
+    """Salted partition key: hot cluster keys split by order-column range
+    (no order column → no salting, the key alone partitions)."""
+    salt = ((F.col(order_col) / F.lit(salt_span)).cast("int")
+            if order_col else F.lit(0))
+    return df.withColumn("_salt", salt)
 
 
 def encode_transcripts(
@@ -279,6 +283,8 @@ def encode_transcripts(
     dict_payload: dict | None = None,
     fields: list[tuple[str, str]] | None = None,
     part_offset: int = 0,
+    cluster_by: str = "conv_id",
+    order_by: str | None = "turn_idx",
 ) -> tuple[DataFrame, list[dict], dict]:
     """Returns (blocks_df, dictionary_rows, dict_payload).
 
@@ -306,17 +312,21 @@ def encode_transcripts(
         if skip_part_ids:
             raise ValueError("resume requires the hash-partitioned path (clustered=False)")
     else:
-        keyed = with_partition_key(df, salt_span)
+        if cluster_by not in df.columns:
+            raise ValueError(f"cluster_by column {cluster_by!r} not in input")
+        order_by = order_by if (order_by and order_by in df.columns) else None
+        keyed = with_partition_key(df, salt_span, key_col=cluster_by, order_col=order_by)
         if skip_part_ids:
             # replicate HashPartitioning's row→partition map (murmur3, pmod)
             # to prune completed partitions at the scan — resumability
             # without re-encoding (manifest analog:
             # stream_file_serializer.cpp:77-129)
-            part_expr = F.pmod(F.hash("conv_id", "_salt"), F.lit(n_parts))
+            part_expr = F.pmod(F.hash(cluster_by, "_salt"), F.lit(n_parts))
             keyed = keyed.where(~part_expr.isin(*[int(p) for p in skip_part_ids]))
+        sort_cols = [cluster_by] + ([order_by] if order_by else [])
         parted = (
-            keyed.repartition(n_parts, "conv_id", "_salt")
-            .sortWithinPartitions("conv_id", "turn_idx")
+            keyed.repartition(n_parts, cluster_by, "_salt")
+            .sortWithinPartitions(*sort_cols)
             .drop("_salt")
         )
 
@@ -451,6 +461,8 @@ def write_encoded(
     resume: bool = False,
     append: bool = False,
     clustered: bool = False,
+    cluster_by: str = "conv_id",
+    order_by: str | None = "turn_idx",
 ) -> dict:
     """Full encode job with commit: blocks + dictionaries + manifest parquet.
 
@@ -499,7 +511,7 @@ def write_encoded(
         blocks_df, _, _ = encode_transcripts(
             spark, df, n_parts=n_parts, dict_cols=dict_cols, salt_span=salt_span,
             skip_part_ids=skip or None, clustered=clustered, dict_payload=payload,
-            part_offset=part_offset,
+            part_offset=part_offset, cluster_by=cluster_by, order_by=order_by,
         )
         if dict_rows:
             spark.createDataFrame(dict_rows, schema=DICTIONARY_SCHEMA).write.mode(
@@ -509,6 +521,7 @@ def write_encoded(
         blocks_df, dict_rows, _ = encode_transcripts(
             spark, df, n_parts=n_parts, dict_cols=dict_cols, salt_span=salt_span,
             skip_part_ids=skip or None, clustered=clustered,
+            cluster_by=cluster_by, order_by=order_by,
         )
         spark.createDataFrame(dict_rows, schema=DICTIONARY_SCHEMA).write.mode(
             "overwrite"
@@ -541,11 +554,22 @@ def encode_table(
     spark: SparkSession,
     df: DataFrame,
     dict_cols: tuple = (),
+    cluster_by: str | None = None,
+    order_by: str | None = None,
+    n_parts: int | None = None,
 ) -> tuple[DataFrame, list[dict], dict]:
     """Encode ANY supported table (strings, ints, floats, timestamps,
-    bools, list<primitive>) into block rows — the general entry point for
-    non-transcript tables (documents, embeddings, ...).  Shuffle-free:
-    maps over the input's existing partitioning."""
+    bools, containers, decimals, ...) into block rows — the general entry
+    point for non-transcript tables (documents, embeddings, ...).
+
+    Default is shuffle-free (maps over the input's existing partitioning).
+    Pass ``cluster_by`` (and optionally ``order_by``) to route through the
+    salted hash-partition path instead — co-locates each key's rows and
+    sorts within partitions, maximizing run lengths for RLE/dict codecs on
+    arbitrary tables (the transcript job's conv_id/turn_idx layout,
+    generalized)."""
     return encode_transcripts(
-        spark, df, dict_cols=dict_cols, clustered=True, fields=infer_fields(df)
+        spark, df, dict_cols=dict_cols, clustered=cluster_by is None,
+        fields=infer_fields(df), n_parts=n_parts,
+        cluster_by=cluster_by or "conv_id", order_by=order_by,
     )

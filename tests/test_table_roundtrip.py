@@ -100,6 +100,30 @@ def test_decode_stream(spark, tmp_path_factory):
     assert spark.read.parquet(sink).count() == df.count()
 
 
+def test_generic_cluster_by_roundtrip(spark):
+    """encode_table(cluster_by=...) routes an arbitrary table through the
+    salted hash-partition path: one exchange, co-located keys, sorted
+    partitions — and decodes bit-identical."""
+    from sparrow_ipc_spark.operators.decode_job import decode_blocks
+    from sparrow_ipc_spark.operators.encode_job import (
+        encode_table, infer_fields, spark_schema_for,
+    )
+    from sparrow_ipc_spark.plans.audit import shuffle_exchanges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fields = infer_fields(docs)
+    blocks_df, dr, _ = encode_table(spark, docs, cluster_by="lang",
+                                    order_by="doc_id", n_parts=4)
+    assert len(shuffle_exchanges(blocks_df)) == 1  # exactly the repartition
+    dec = decode_blocks(spark, blocks_df, dr, schema=spark_schema_for(fields))
+    assert dec.count() == docs.count()
+    assert docs.exceptAll(dec).count() == 0 and dec.exceptAll(docs).count() == 0
+    # clustering pays: lang column RLE/dict-encodes into long runs
+    meta = blocks_df.collect()
+    lang_codecs = {c["codec"] for r in meta for c in r["columns"] if c["name"] == "lang"}
+    assert lang_codecs <= {"rle", "dict_local", "dict"}, lang_codecs
+
+
 def test_decimal_and_struct_roundtrip(spark):
     from decimal import Decimal
 
