@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -255,6 +256,137 @@ class _WriteMessage(WriterCommitMessage):
     codec_summary: str
 
 
+def _encode_to_staged(batches, part_id: int, attempt: int,
+                      fields: list[tuple[str, str]], batch_rows: int,
+                      staging: str) -> _WriteMessage:
+    """Task-side encode: accumulate Arrow batches to block granularity,
+    encode each block, stage one parquet file of block rows (unique per
+    task attempt — only files named in successful commit messages publish)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparrow_ipc_spark.operators import blocks as B
+    from sparrow_ipc_spark.schema import arrow_block_schema
+
+    ctx: dict = {"global_dicts": {}}
+    rows, pending, pending_rows, seq = [], [], 0, 0
+    codecs: set[tuple[str, str]] = set()
+
+    def flush():
+        nonlocal pending, pending_rows, seq
+        if not pending_rows:
+            return
+        tbl = pa.Table.from_batches(pending).combine_chunks()
+        pending, pending_rows = [], 0
+        if not tbl.num_rows:
+            return
+        row = B.encode_batch_arrow(tbl.to_batches()[0], fields, ctx, part_id, seq)
+        seq += 1
+        for c in row["columns"]:
+            codecs.add((c["name"], c["codec"]))
+        rows.append(row)
+
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        pending.append(b)
+        pending_rows += b.num_rows
+        if pending_rows >= batch_rows:
+            flush()
+    flush()
+    os.makedirs(staging, exist_ok=True)
+    fname = f"part-{part_id:05d}-{attempt}.parquet"
+    out = pa.Table.from_pylist(rows, schema=arrow_block_schema())
+    pq.write_table(out, os.path.join(staging, fname), compression="zstd")
+    return _WriteMessage(
+        file=fname, part_id=part_id, n_blocks=len(rows),
+        n_rows=sum(r["n_rows"] for r in rows),
+        raw_bytes=sum(r["raw_bytes"] for r in rows),
+        enc_bytes=sum(r["enc_bytes"] for r in rows),
+        codec_summary=json.dumps([{"col": c, "codec": k} for c, k in sorted(codecs)]),
+    )
+
+
+_MANIFEST_PA_SCHEMA = None
+
+
+def _manifest_schema():
+    import pyarrow as pa
+
+    global _MANIFEST_PA_SCHEMA
+    if _MANIFEST_PA_SCHEMA is None:
+        _MANIFEST_PA_SCHEMA = pa.schema(
+            [
+                ("part_id", pa.int32()), ("n_blocks", pa.int64()),
+                ("n_rows", pa.int64()), ("raw_bytes", pa.int64()),
+                ("enc_bytes", pa.int64()), ("codec_summary", pa.string()),
+                ("status", pa.string()), ("snapshot", pa.int64()),
+            ]
+        )
+    return _MANIFEST_PA_SCHEMA
+
+
+def _publish(path: str, staging: str, messages, overwrite: bool,
+             prev_snapshots: dict[int, int]) -> None:
+    """Move staged files into blocks/, append (or rewrite) the manifest
+    from the commit messages, seed an empty dictionaries table."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    blocks_dir = os.path.join(path, "blocks")
+    if overwrite:
+        for sub in ("blocks", "dictionaries", "manifest"):
+            shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+    os.makedirs(blocks_dir, exist_ok=True)
+    for m in messages:  # only files from SUCCESSFUL task attempts publish
+        os.replace(os.path.join(staging, m.file), os.path.join(blocks_dir, m.file))
+    shutil.rmtree(staging, ignore_errors=True)
+    snap = (max(prev_snapshots.values()) + 1) if prev_snapshots else 0
+    man_rows = [
+        {
+            "part_id": m.part_id, "n_blocks": m.n_blocks, "n_rows": m.n_rows,
+            "raw_bytes": m.raw_bytes, "enc_bytes": m.enc_bytes,
+            "codec_summary": m.codec_summary, "status": "committed",
+            "snapshot": snap,
+        }
+        for m in messages
+    ]
+    man_dir = os.path.join(path, "manifest")
+    prev = []
+    if not overwrite and os.path.isdir(man_dir):
+        prev = pq.read_table(man_dir).to_pylist()
+        for r in prev:
+            r.setdefault("snapshot", 0)
+    tmp = man_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(prev + man_rows, schema=_manifest_schema()),
+                   os.path.join(tmp, "manifest.parquet"))
+    old = man_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(man_dir):
+        os.rename(man_dir, old)
+    os.rename(tmp, man_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    dict_dir = os.path.join(path, "dictionaries")
+    if not os.path.isdir(dict_dir):  # dict_local-only writes: empty table
+        import pyarrow as pa2
+
+        os.makedirs(dict_dir, exist_ok=True)
+        dict_schema = pa2.schema(
+            [
+                ("dict_id", pa2.int64()), ("col_name", pa2.string()),
+                ("is_delta", pa2.bool_()), ("version", pa2.int32()),
+                ("n_values", pa2.int32()), ("values_offsets", pa2.binary()),
+                ("values_data", pa2.binary()),
+            ]
+        )
+        pq.write_table(pa2.Table.from_pylist([], schema=dict_schema),
+                       os.path.join(dict_dir, "empty.parquet"))
+
+
 class SparrowIPCWriter(DataSourceArrowWriter):
     """``df.write.format("sparrow_ipc").save(out_dir)`` — per-task encode
     into staged block parquet files; commit() atomically publishes the
@@ -292,122 +424,78 @@ class SparrowIPCWriter(DataSourceArrowWriter):
                 pass
 
     def write(self, batches) -> _WriteMessage:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
         from pyspark import TaskContext
-
-        from sparrow_ipc_spark.operators import blocks as B
-        from sparrow_ipc_spark.schema import arrow_block_schema
 
         tc = TaskContext.get()
         part_id = self.part_offset + (tc.partitionId() if tc is not None else 0)
         attempt = tc.taskAttemptId() if tc is not None else 0
-        ctx: dict = {"global_dicts": {}}
-        rows, pending, pending_rows, seq = [], [], 0, 0
-        codecs: set[tuple[str, str]] = set()
-
-        def flush():
-            nonlocal pending, pending_rows, seq
-            if not pending_rows:
-                return
-            tbl = pa.Table.from_batches(pending).combine_chunks()
-            pending, pending_rows = [], 0
-            batch = tbl.to_batches()[0] if tbl.num_rows else None
-            if batch is None:
-                return
-            row = B.encode_batch_arrow(batch, self.fields, ctx, part_id, seq)
-            seq += 1
-            for c in row["columns"]:
-                codecs.add((c["name"], c["codec"]))
-            rows.append(row)
-
-        for b in batches:
-            if b.num_rows == 0:
-                continue
-            pending.append(b)
-            pending_rows += b.num_rows
-            if pending_rows >= self.batch_rows:
-                flush()
-        flush()
-        os.makedirs(self.staging, exist_ok=True)
-        fname = f"part-{part_id:05d}-{attempt}.parquet"
-        out = pa.Table.from_pylist(rows, schema=arrow_block_schema())
-        pq.write_table(out, os.path.join(self.staging, fname), compression="zstd")
-        return _WriteMessage(
-            file=fname, part_id=part_id, n_blocks=len(rows),
-            n_rows=sum(r["n_rows"] for r in rows),
-            raw_bytes=sum(r["raw_bytes"] for r in rows),
-            enc_bytes=sum(r["enc_bytes"] for r in rows),
-            codec_summary=json.dumps([{"col": c, "codec": k} for c, k in sorted(codecs)]),
-        )
+        return _encode_to_staged(batches, part_id, attempt, self.fields,
+                                 self.batch_rows, self.staging)
 
     def commit(self, messages) -> None:
-        import shutil
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        blocks_dir = os.path.join(self.path, "blocks")
-        if self.overwrite:
-            for sub in ("blocks", "dictionaries", "manifest"):
-                shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
-        os.makedirs(blocks_dir, exist_ok=True)
-        kept = {m.file for m in messages}
-        for f in kept:  # only files from SUCCESSFUL task attempts publish
-            os.replace(os.path.join(self.staging, f), os.path.join(blocks_dir, f))
-        shutil.rmtree(self.staging, ignore_errors=True)
-        snap = (max(self.prev_snapshots.values()) + 1) if self.prev_snapshots else 0
-        man_rows = [
-            {
-                "part_id": m.part_id, "n_blocks": m.n_blocks, "n_rows": m.n_rows,
-                "raw_bytes": m.raw_bytes, "enc_bytes": m.enc_bytes,
-                "codec_summary": m.codec_summary, "status": "committed",
-                "snapshot": snap,
-            }
-            for m in messages
-        ]
-        man_dir = os.path.join(self.path, "manifest")
-        prev = []
-        if not self.overwrite and os.path.isdir(man_dir):
-            prev = pq.read_table(man_dir).to_pylist()
-        man_schema = pa.schema(
-            [
-                ("part_id", pa.int32()), ("n_blocks", pa.int64()),
-                ("n_rows", pa.int64()), ("raw_bytes", pa.int64()),
-                ("enc_bytes", pa.int64()), ("codec_summary", pa.string()),
-                ("status", pa.string()), ("snapshot", pa.int64()),
-            ]
-        )
-        for r in prev:
-            r.setdefault("snapshot", 0)
-        tmp = man_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp, exist_ok=True)
-        pq.write_table(
-            pa.Table.from_pylist(prev + man_rows, schema=man_schema),
-            os.path.join(tmp, "manifest.parquet"),
-        )
-        old = man_dir + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(man_dir):
-            os.rename(man_dir, old)
-        os.rename(tmp, man_dir)
-        shutil.rmtree(old, ignore_errors=True)
-        dict_dir = os.path.join(self.path, "dictionaries")
-        if not os.path.isdir(dict_dir):  # dict_local-only writes: empty table
-            os.makedirs(dict_dir, exist_ok=True)
-            dict_schema = pa.schema(
-                [
-                    ("dict_id", pa.int64()), ("col_name", pa.string()),
-                    ("is_delta", pa.bool_()), ("version", pa.int32()),
-                    ("n_values", pa.int32()), ("values_offsets", pa.binary()),
-                    ("values_data", pa.binary()),
-                ]
-            )
-            pq.write_table(pa.Table.from_pylist([], schema=dict_schema),
-                           os.path.join(dict_dir, "empty.parquet"))
+        _publish(self.path, self.staging, list(messages), self.overwrite,
+                 self.prev_snapshots)
 
     def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class SparrowIPCStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("sparrow_ipc")`` — each micro-batch encodes
+    into staged block files and publishes under a new snapshot on commit.
+    Exactly-once: a committed batchId leaves a marker; a replayed commit
+    for the same batchId discards its staged files instead of publishing
+    twice.  Part ids come from the task attempt id (unique across batches
+    and retries).  Block-local dictionaries only — the delta-dictionary
+    streaming encoder is ``streaming.encode_stream.StreamingEncoder``."""
+
+    def __init__(self, options: dict, schema):
+        from sparrow_ipc_spark.operators.encode_job import _logical_of_spark
+
+        if not options.get("path"):
+            raise ValueError("sparrow_ipc stream writer requires .option('path', out_dir)")
+        self.path = options["path"]
+        self.fields = [(f.name, _logical_of_spark(f.dataType)) for f in schema.fields]
+        self.batch_rows = int(options.get("batch_rows", 65536))
+        # deterministic staging dir: executor-side writer copies can outlive
+        # one query run (reused Python workers), so a per-instance uuid can
+        # diverge between the staging tasks and the committing driver;
+        # micro-batches are sequential, so one shared dir is race-free
+        self.staging = os.path.join(self.path, "_staging_stream")
+
+    def write(self, batches) -> _WriteMessage:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc is not None else 0
+        return _encode_to_staged(batches, int(attempt), attempt, self.fields,
+                                 self.batch_rows, self.staging)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.path, "_stream_commits", f"{batch_id}")
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        os.makedirs(os.path.join(self.path, "_stream_commits"), exist_ok=True)
+        if os.path.exists(self._marker(batchId)):  # replayed batch: drop staged
+            shutil.rmtree(self.staging, ignore_errors=True)
+            return
+        msgs = [m for m in messages if m is not None]
+        try:
+            import pyarrow.parquet as pq
+
+            man = pq.read_table(os.path.join(self.path, "manifest")).to_pylist()
+            prev = {int(r["part_id"]): int(r.get("snapshot", 0) or 0) for r in man}
+        except Exception:
+            prev = {}
+        _publish(self.path, self.staging, msgs, overwrite=False, prev_snapshots=prev)
+        with open(self._marker(batchId), "w") as f:
+            f.write("committed")
+
+    def abort(self, messages, batchId: int) -> None:
         import shutil
 
         shutil.rmtree(self.staging, ignore_errors=True)
@@ -447,3 +535,6 @@ class SparrowIPCDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> SparrowIPCWriter:
         return SparrowIPCWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> SparrowIPCStreamWriter:
+        return SparrowIPCStreamWriter(dict(self.options), schema)

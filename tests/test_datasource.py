@@ -151,6 +151,44 @@ def test_datasource_writer_roundtrip(spark, tmp_path_factory):
     assert decode_dir(spark, out, snapshot=0).count() == df.count()
 
 
+def test_datasource_stream_writer(spark, tmp_path_factory):
+    """rate-free streaming encode: two availableNow micro-runs over a
+    growing parquet source land as two snapshots; decode sees all rows."""
+    from sparrow_ipc_spark.operators.decode_job import decode_dir
+
+    spark.dataSource.register(SparrowIPCDataSource)
+    base = tmp_path_factory.mktemp("ds_swrite")
+    src = str(base / "src")
+    out = str(base / "enc")
+    ckpt = str(base / "ckpt")
+    from sparrow_ipc_spark.sources.transcripts import transcripts_df
+
+    df1 = transcripts_df(spark, n_convs=30, seed=21).cache()
+    df1.write.parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema(df1.schema).parquet(src)
+            .writeStream.format("sparrow_ipc").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert decode_dir(spark, out).count() == df1.count()
+    df2 = transcripts_df(spark, n_convs=15, seed=31).cache()
+    df2.write.mode("append").parquet(src)
+    run()
+    dec = decode_dir(spark, out)
+    assert dec.count() == df1.count() + df2.count()
+    assert df2.exceptAll(dec).count() == 0
+    man = spark.read.parquet(f"{out}/manifest")
+    assert man.select("snapshot").distinct().count() >= 2
+    ids = [r["part_id"] for r in man.collect()]
+    assert len(ids) == len(set(ids))
+
+
 def test_datasource_ts_range_filter(spark, enc_dir):
     out, df = enc_dir
     from pyspark.sql import functions as F
