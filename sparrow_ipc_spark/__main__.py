@@ -59,6 +59,9 @@ def main(argv: list[str] | None = None) -> int:
     px.add_argument("--out", required=True)
     px.add_argument("--compression", default="zstd", choices=["zstd", "lz4", "none"])
 
+    ps = sub.add_parser("stats", help="per-column codec mix + compression and snapshot summary")
+    ps.add_argument("--dir", required=True, help="encoded directory")
+
     args = p.parse_args(argv)
     spark = _spark(args)
 
@@ -98,6 +101,31 @@ def main(argv: list[str] | None = None) -> int:
         report = write_ipc_stream(spark.read.parquet(args.input), args.out, compression=comp)
         print(json.dumps({"files": len(report), "rows": sum(r["rows"] for r in report),
                           "bytes": sum(r["bytes"] for r in report)}))
+    elif args.cmd == "stats":
+        from pyspark.sql import functions as F
+
+        from sparrow_ipc_spark.operators.decode_job import snapshots
+
+        blocks = spark.read.parquet(f"{args.dir}/blocks").drop("body")
+        per_col = (
+            blocks.select(F.explode("columns").alias("c"))
+            .groupBy(F.col("c.name").alias("col"), F.col("c.codec").alias("codec"))
+            .agg(F.count("*").alias("n_blocks"))
+            .orderBy("col", "codec")
+        )
+        totals = blocks.agg(
+            F.count("*").alias("blocks"), F.sum("n_rows").alias("rows"),
+            F.sum("raw_bytes").alias("raw_bytes"), F.sum("enc_bytes").alias("enc_bytes"),
+        ).collect()[0]
+        snaps = [r.asDict() for r in snapshots(spark, args.dir)
+                 .select("snapshot", "n_parts", "n_rows", "enc_bytes").collect()]
+        print(json.dumps({
+            "blocks": int(totals["blocks"]), "rows": int(totals["rows"]),
+            "raw_bytes": int(totals["raw_bytes"]), "enc_bytes": int(totals["enc_bytes"]),
+            "ratio": round(totals["raw_bytes"] / max(1, totals["enc_bytes"]), 3),
+            "codecs": [r.asDict() for r in per_col.collect()],
+            "snapshots": snaps,
+        }))
     return 0
 
 

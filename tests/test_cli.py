@@ -25,3 +25,10 @@ def test_cli_encode_verify_decode(spark, tmp_path_factory, capsys):
                  "--columns", "conv_id,text"]) == 0
     dec = spark.read.parquet(f"{base}/dec")
     assert dec.columns == ["conv_id", "text"] and dec.count() == stats["rows"]
+
+    assert main(["stats", "--dir", f"{base}/enc"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["rows"] == stats["rows"] and st["ratio"] > 1
+    assert {c["col"] for c in st["codecs"]} == {"conv_id", "turn_idx", "role",
+                                               "text", "tool", "ts"}
+    assert st["snapshots"][0]["snapshot"] == 0
