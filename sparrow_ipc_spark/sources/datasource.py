@@ -18,6 +18,12 @@ surface over the decode path (the user-facing analog of the reference's
   buffers are never decompressed (the Python DS API does not forward
   Spark's own column pruning, so it is surfaced as an option).
 
+All four quadrants are covered: ``spark.read`` / ``spark.readStream``
+(incremental decode of new block files from the checkpoint) and
+``df.write`` / ``df.writeStream`` (staged per-task block files published
+by commit-message manifest under snapshots; micro-batch commits are
+exactly-once via batchId markers).
+
 Registration: ``spark.dataSource.register(SparrowIPCDataSource)``.
 """
 
