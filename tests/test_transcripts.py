@@ -76,6 +76,36 @@ def _legacy_conversation(seed, conv_idx, vocab, phrases, tools, word_probs,
     })
 
 
+def test_build_texts_edges():
+    """Direct edge coverage of the vectorized text builder: all-null,
+    all-empty, single-word texts, phrase-only rows."""
+    import pyarrow as pa
+
+    from sparrow_ipc_spark.sources.transcripts import _build_texts, build_text_tables
+
+    vocab = np.array(["aa", "b", "ccc"], dtype=object)
+    phrases = ["X Y"]
+    tables = build_text_tables(vocab, phrases)
+
+    def run(n_words, draws, pmask, ppick, u):
+        return _build_texts(
+            tables, np.array(n_words, np.int64), np.array(draws, np.int64),
+            np.array(pmask, bool), np.array(ppick, np.int64), np.array(u),
+        ).to_pylist()
+
+    # all null
+    assert run([2, 1], [0, 1, 2], [False, False], [0, 0], [0.0, 0.005]) == [None, None]
+    # all empty
+    assert run([1, 1], [0, 1], [False, False], [0, 0], [0.012, 0.014]) == ["", ""]
+    # plain + phrase-prefixed + null mixed; draws for the null row are
+    # consumed but not rendered
+    out = run([2, 1, 2], [0, 2, 1, 2, 0], [False, True, False], [0, 0, 0],
+              [0.5, 0.5, 0.001])
+    assert out == ["aa ccc", "X Y b", None]
+    # zero rows
+    assert run([], [], [], [], []) == []
+
+
 def test_vectorized_builder_matches_legacy():
     from sparrow_ipc_spark.sources.transcripts import (
         build_phrases, build_tools, build_vocab, gen_conversation,
