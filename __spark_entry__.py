@@ -497,7 +497,7 @@ SELECT doc_id, lang AS stratum, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bu
 FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
   CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN '8000'
-            WHEN 'fr' THEN '8000' WHEN 'es' THEN '8000' ELSE 'ffff' END
+            WHEN 'fr' THEN '8000' WHEN 'es' THEN '8000' ELSE 'g' END
 """
 _SQL["stratified_sample"] = (_STRATIFIED_DUCK, _STRATIFIED_DUCK)
 
@@ -713,14 +713,21 @@ def _datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import tempfile
 
-    from sparrow_ipc_spark.sources.datasource import SparrowIPCDataSource
+    from sparrow_ipc_spark.sources.datasource import SparrowIPCDataSource, read_encoded
 
+    # runtime-settable: the harness session defaults this to false, which
+    # would reject a pushFilters reader — enable it so reads get zone-map
+    # pruning (read_encoded degrades gracefully if the set is refused)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
     spark.dataSource.register(SparrowIPCDataSource)
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     out = f"{tempfile.gettempdir()}/sparrow_entry_ds_{tag}"
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ev.write.format("sparrow_ipc").mode("overwrite").save(out)
-    back = spark.read.format("sparrow_ipc").load(out)
+    back = read_encoded(spark, out)
     return back.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("user_id").cast("long").alias("sum_user"),

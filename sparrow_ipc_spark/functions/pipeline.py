@@ -55,7 +55,13 @@ FALLBACK_RATE = 1.0
 
 
 def _hex_threshold(rate: float) -> str:
-    return format(min(65535, int(rate * 65536)), "04x")
+    # rate ≥ 1.0 → sentinel 'g', lexicographically above every 4-hex-digit
+    # bucket ('f' < 'g'), so "keep everything" really keeps every row
+    # (capping at 'ffff' would silently drop ~1/65536 of docs; a numeric
+    # sentinel like '10000' sorts BELOW 'ffff' as a string)
+    if rate >= 1.0:
+        return "g"
+    return format(max(0, int(rate * 65536)), "04x")
 
 
 def stratified_sample(docs: DataFrame, rates: dict[str, float] | None = None,

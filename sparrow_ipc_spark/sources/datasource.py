@@ -7,13 +7,22 @@ surface over the decode path (the user-facing analog of the reference's
 
 * schema inference from the committed block metadata (no user schema
   needed);
-* one input partition per blocks parquet file — embarrassingly parallel
-  decode, no shuffle;
+* one input partition per parquet ROW GROUP (not per file) — decode
+  parallelism scales with data volume, not writer task count, and block
+  rows stay Arrow end-to-end;
 * **filter pushdown into the block zone maps** (Spark 4 `pushFilters`):
   comparison filters on any zone-mapped column skip whole blocks before
   their bodies are ever read or decompressed.  Pushdown is PARTIAL by
   design — zone maps prune at block granularity — so every filter is also
-  returned to Spark for exact row-level re-evaluation;
+  returned to Spark for exact row-level re-evaluation.  Spark 4.1 REFUSES
+  a reader that defines ``pushFilters`` when
+  ``spark.sql.python.filterPushdown.enabled`` is false (the default), and
+  the Python DS lifecycle runs in a session-less worker where the conf is
+  unreadable — so pushdown is an explicit reader option:
+  ``.option("pushdown", "true")``.  Without it the reader degrades to
+  unpruned-but-correct reads on any foreign session.  Use
+  :func:`read_encoded` from driver code: it inspects the live session conf
+  and wires the option automatically;
 * column pruning via ``.option("columns", "a,b")`` — unread columns'
   buffers are never decompressed (the Python DS API does not forward
   Spark's own column pruning, so it is surfaced as an option).
@@ -91,11 +100,19 @@ def _load_dict_rows(path: str) -> list[dict]:
 
 @dataclass
 class _FilePartition(InputPartition):
+    """One decode partition: a contiguous row-group span of one file."""
+
     file: str
+    rg_start: int = 0
+    rg_end: int = -1  # exclusive; -1 = through the last row group
 
 
-def _to_us(v: Any) -> Any:
-    """Timestamps arrive as datetime; zone stats store int64 microseconds."""
+def _to_us(v: Any) -> Any | None:
+    """Timestamps arrive as datetime; zone stats store int64 microseconds.
+
+    Naive datetimes are resolved as UTC — callers must only pass them when
+    the session timezone IS UTC (``pushFilters`` skips the bound otherwise,
+    keeping pruning conservative on non-UTC sessions)."""
     import datetime
 
     if isinstance(v, datetime.datetime):
@@ -136,6 +153,12 @@ def _survives(row: dict, bounds: dict[str, tuple[Any, Any]]) -> bool:
 
 
 class SparrowIPCReader(DataSourceReader):
+    """Base reader: NO ``pushFilters`` attribute — safe on sessions where
+    ``spark.sql.python.filterPushdown.enabled`` is false (Spark 4.1 errors
+    at reader init otherwise).  Zone-map pruning lives in the
+    :class:`SparrowIPCPushdownReader` subclass, selected via
+    ``.option("pushdown", "true")``."""
+
     def __init__(self, options: dict, fields: list[tuple[str, str]]):
         self.path = options.get("path")
         if not self.path:
@@ -143,14 +166,53 @@ class SparrowIPCReader(DataSourceReader):
         cols_opt = options.get("columns")
         self.columns = ([c.strip() for c in cols_opt.split(",")] if cols_opt else None)
         self.fields = fields
+        # session tz forwarded by read_encoded(); naive-datetime bounds are
+        # only trusted on UTC sessions (conservative pruning elsewhere)
+        self.session_tz_utc = str(options.get("session_tz", "UTC")).upper() in (
+            "UTC", "ETC/UTC", "GMT", "Z")
         self.dict_rows = _load_dict_rows(self.path)
         self.bounds: dict[str, tuple[Any, Any]] = {}
 
+    def partitions(self) -> list[InputPartition]:
+        """One partition per parquet row group: writers emit small row
+        groups (``row_group_rows`` block rows each), so decode parallelism
+        tracks block count — not writer task count — with no shuffle."""
+        import pyarrow.parquet as pq
+
+        parts: list[InputPartition] = []
+        for f in _blocks_files(self.path):
+            n_rg = pq.ParquetFile(f).metadata.num_row_groups
+            parts.extend(_FilePartition(f, i, i + 1) for i in range(n_rg))
+            if n_rg == 0:
+                parts.append(_FilePartition(f, 0, 0))
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        yield from _decode_file_rows(
+            partition.file, self.fields, self.columns, self.dict_rows,
+            bounds=self.bounds, rg_start=partition.rg_start,
+            rg_end=partition.rg_end,
+        )
+
+
+class SparrowIPCPushdownReader(SparrowIPCReader):
+    """Reader with zone-map filter pushdown (requires
+    ``spark.sql.python.filterPushdown.enabled=true`` on the session)."""
+
     def pushFilters(self, filters: list[Filter]):
+        import datetime
+
         names = {n for n, _ in self.fields}
         for f in filters:
             if isinstance(f, _RANGE_FILTERS) and len(f.attribute) == 1 \
                     and f.attribute[0] in names and f.value is not None:
+                # a naive datetime bound is ambiguous unless the session tz
+                # is UTC — skip it (no pruning) rather than shift blocks away
+                naive_ts = (isinstance(f.value, datetime.datetime)
+                            and f.value.tzinfo is None)
+                if naive_ts and not self.session_tz_utc:
+                    yield f
+                    continue
                 col = f.attribute[0]
                 v = _to_us(f.value)
                 lo, hi = self.bounds.get(col, (None, None))
@@ -169,19 +231,16 @@ class SparrowIPCReader(DataSourceReader):
             # Spark for exact evaluation (partial pushdown contract)
             yield f
 
-    def partitions(self) -> list[InputPartition]:
-        return [_FilePartition(f) for f in _blocks_files(self.path)]
-
-    def read(self, partition: _FilePartition) -> Iterator:
-        yield from _decode_file_rows(
-            partition.file, self.fields, self.columns, self.dict_rows,
-            bounds=self.bounds,
-        )
-
 
 def _decode_file_rows(file: str, fields, columns, dict_rows,
-                      bounds=None) -> Iterator:
-    """Shared block-file decode kernel for the batch and stream readers."""
+                      bounds=None, rg_start: int = 0,
+                      rg_end: int = -1) -> Iterator:
+    """Shared block-file decode kernel for the batch and stream readers.
+
+    Reads only the ``[rg_start, rg_end)`` row groups of ``file``; block
+    metadata (tiny) is materialized per row, the multi-MB body stays a
+    zero-copy Arrow buffer view, and decoded output is yielded as Arrow
+    record batches end-to-end."""
     import pyarrow.parquet as pq
 
     from sparrow_ipc_spark.operators import blocks as B
@@ -190,17 +249,20 @@ def _decode_file_rows(file: str, fields, columns, dict_rows,
     ctx = {"dict_values": load_dict_values(dict_rows)}
     out_names = [n for n, _ in fields if columns is None or n in columns]
     pf = pq.ParquetFile(file)
-    for batch in pf.iter_batches(batch_size=16):
-        names = batch.schema.names
-        body_col = batch.column(names.index("body"))
-        for i in range(batch.num_rows):
-            row = {n: batch.column(names.index(n))[i].as_py()
-                   for n in names if n != "body"}
+    n_rg = pf.metadata.num_row_groups
+    if rg_end < 0:
+        rg_end = n_rg
+    for rg in range(rg_start, min(rg_end, n_rg)):
+        tbl = pf.read_row_group(rg).combine_chunks()
+        names = tbl.schema.names
+        body_col = tbl.column("body").chunk(0) if tbl.num_rows else None
+        for i in range(tbl.num_rows):
+            row = {n: tbl.column(n)[i].as_py() for n in names if n != "body"}
             if bounds and not _survives(row, bounds):
                 continue
             row["body"] = memoryview(body_col[i].as_buffer())
-            tbl = B.decode_block(row, ctx, columns=columns)
-            yield from tbl.select(out_names).to_batches()
+            out = B.decode_block(row, ctx, columns=columns)
+            yield from out.select(out_names).to_batches()
 
 
 @dataclass
@@ -284,13 +346,17 @@ def _encode_to_staged(batches, part_id: int, attempt: int,
             return
         tbl = pa.Table.from_batches(pending).combine_chunks()
         pending, pending_rows = [], 0
-        if not tbl.num_rows:
-            return
-        row = B.encode_batch_arrow(tbl.to_batches()[0], fields, ctx, part_id, seq)
-        seq += 1
-        for c in row["columns"]:
-            codecs.add((c["name"], c["codec"]))
-        rows.append(row)
+        # slice into batch_rows-sized blocks: incoming Arrow batches can be
+        # bigger than the requested block granularity
+        for start in range(0, tbl.num_rows, batch_rows):
+            chunk = tbl.slice(start, batch_rows).combine_chunks()
+            if not chunk.num_rows:
+                continue
+            row = B.encode_batch_arrow(chunk.to_batches()[0], fields, ctx, part_id, seq)
+            seq += 1
+            for c in row["columns"]:
+                codecs.add((c["name"], c["codec"]))
+            rows.append(row)
 
     for b in batches:
         if b.num_rows == 0:
@@ -303,7 +369,11 @@ def _encode_to_staged(batches, part_id: int, attempt: int,
     os.makedirs(staging, exist_ok=True)
     fname = f"part-{part_id:05d}-{attempt}.parquet"
     out = pa.Table.from_pylist(rows, schema=arrow_block_schema())
-    pq.write_table(out, os.path.join(staging, fname), compression="zstd")
+    # one block row per row group: the reader parallelizes and zone-map-
+    # prunes at row-group granularity (a block body is MBs — the row-group
+    # metadata overhead is noise next to it)
+    pq.write_table(out, os.path.join(staging, fname), compression="zstd",
+                   row_group_size=1)
     return _WriteMessage(
         file=fname, part_id=part_id, n_blocks=len(rows),
         n_rows=sum(r["n_rows"] for r in rows),
@@ -333,9 +403,16 @@ def _manifest_schema():
 
 
 def _publish(path: str, staging: str, messages, overwrite: bool,
-             prev_snapshots: dict[int, int]) -> None:
+             prev_snapshots: dict[int, int], marker: str | None = None) -> None:
     """Move staged files into blocks/, append (or rewrite) the manifest
-    from the commit messages, seed an empty dictionaries table."""
+    from the commit messages, seed an empty dictionaries table.
+
+    ``marker`` (stream commits): an underscore-prefixed marker file written
+    INTO the new manifest directory before its atomic rename — publish and
+    batch-commit marker land in one rename, so a crash can never leave the
+    batch published but unmarked (the at-least-once window a separate
+    post-publish marker write would open).  Parquet dataset discovery
+    (pyarrow and Spark both) ignores ``_``-prefixed files."""
     import shutil
 
     import pyarrow as pa
@@ -370,6 +447,13 @@ def _publish(path: str, staging: str, messages, overwrite: bool,
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(pa.Table.from_pylist(prev + man_rows, schema=_manifest_schema()),
                    os.path.join(tmp, "manifest.parquet"))
+    if os.path.isdir(man_dir):  # carry committed-batch markers forward
+        for f in os.listdir(man_dir):
+            if f.startswith("_batch_"):
+                shutil.copy2(os.path.join(man_dir, f), os.path.join(tmp, f))
+    if marker is not None:
+        with open(os.path.join(tmp, marker), "w") as mf:
+            mf.write("committed")
     old = man_dir + ".old"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.isdir(man_dir):
@@ -480,14 +564,16 @@ class SparrowIPCStreamWriter(DataSourceStreamArrowWriter):
                                  self.batch_rows, self.staging)
 
     def _marker(self, batch_id: int) -> str:
-        return os.path.join(self.path, "_stream_commits", f"{batch_id}")
+        # lives inside the manifest dir: swapped atomically WITH the
+        # manifest by _publish, so publish+marker are one rename
+        return os.path.join(self.path, "manifest", f"_batch_{batch_id}")
 
     def commit(self, messages, batchId: int) -> None:
         import shutil
 
-        os.makedirs(os.path.join(self.path, "_stream_commits"), exist_ok=True)
-        if os.path.exists(self._marker(batchId)):  # replayed batch: drop staged
-            shutil.rmtree(self.staging, ignore_errors=True)
+        legacy = os.path.join(self.path, "_stream_commits", f"{batchId}")
+        if os.path.exists(self._marker(batchId)) or os.path.exists(legacy):
+            shutil.rmtree(self.staging, ignore_errors=True)  # replayed batch
             return
         msgs = [m for m in messages if m is not None]
         try:
@@ -497,9 +583,8 @@ class SparrowIPCStreamWriter(DataSourceStreamArrowWriter):
             prev = {int(r["part_id"]): int(r.get("snapshot", 0) or 0) for r in man}
         except Exception:
             prev = {}
-        _publish(self.path, self.staging, msgs, overwrite=False, prev_snapshots=prev)
-        with open(self._marker(batchId), "w") as f:
-            f.write("committed")
+        _publish(self.path, self.staging, msgs, overwrite=False, prev_snapshots=prev,
+                 marker=f"_batch_{batchId}")
 
     def abort(self, messages, batchId: int) -> None:
         import shutil
@@ -534,7 +619,13 @@ class SparrowIPCDataSource(DataSource):
         return spark_schema_for(fields)
 
     def reader(self, schema) -> SparrowIPCReader:
-        return SparrowIPCReader(dict(self.options), self._infer())
+        # the DS lifecycle runs in a session-less Python worker, so the
+        # filterPushdown conf is unreadable here — pushdown is opt-in via
+        # .option("pushdown","true"); read_encoded() wires it from the
+        # live session conf driver-side
+        want = str(self.options.get("pushdown", "")).lower() in ("1", "true", "yes")
+        cls = SparrowIPCPushdownReader if want else SparrowIPCReader
+        return cls(dict(self.options), self._infer())
 
     def streamReader(self, schema) -> SparrowIPCStreamReader:
         return SparrowIPCStreamReader(dict(self.options), self._infer())
@@ -544,3 +635,26 @@ class SparrowIPCDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite: bool) -> SparrowIPCStreamWriter:
         return SparrowIPCStreamWriter(dict(self.options), schema)
+
+
+def read_encoded(spark, path: str, columns: list[str] | None = None):
+    """Driver-side entry: ``spark.read.format("sparrow_ipc")`` with the
+    pushdown option derived from the LIVE session conf (the only place it
+    is readable).  Pushdown-enabled sessions get zone-map block pruning;
+    others degrade to unpruned-but-correct reads instead of Spark 4.1's
+    DATA_SOURCE_PUSHDOWN_DISABLED error."""
+    spark.dataSource.register(SparrowIPCDataSource)
+    try:
+        enabled = str(spark.conf.get(
+            "spark.sql.python.filterPushdown.enabled", "false") or "false").lower()
+    except Exception:
+        enabled = "false"
+    try:
+        tz = str(spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC")
+    except Exception:
+        tz = "UTC"
+    r = (spark.read.format("sparrow_ipc")
+         .option("pushdown", enabled).option("session_tz", tz))
+    if columns:
+        r = r.option("columns", ",".join(columns))
+    return r.load(path)

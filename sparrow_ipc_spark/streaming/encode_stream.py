@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sparrow_ipc_spark.operators.encode_job import (
     DEFAULT_DICT_COLS,
+    DICT_MAX_GLOBAL_DISTINCT,
     dict_id_for,
     dict_row_for_values,
     encode_transcripts,
@@ -39,18 +40,45 @@ class StreamingEncoder:
         # dictionary_tracker state: col → ordered known values (+ set)
         self._values: dict[str, list] = {c: [] for c in self.dict_cols}
         self._known: dict[str, set] = {c: set() for c in self.dict_cols}
+        # columns demoted to block-local dictionaries after blowing the
+        # cardinality ceiling — never re-promoted (their codes would be
+        # incomplete), never driven through collect_set again
+        self._demoted: set[str] = set()
         self._version = 0
 
     def _update_dictionaries(self, df: DataFrame) -> list[dict]:
         """Emit-once protocol: detect new values, emit one delta row per
-        column with additions; codes extend the existing assignment."""
-        if not self.dict_cols:
+        column with additions; codes extend the existing assignment.
+
+        Cardinality-gated like the batch path (encode_job.py
+        ``build_global_dicts``): a cheap ``approx_count_distinct`` runs
+        before any ``collect_set``, so a mis-listed high-cardinality column
+        demotes to block-local dictionaries instead of pulling an unbounded
+        distinct set into the driver every micro-batch — the 10^12-row
+        driver-OOM shape."""
+        cols = [c for c in self.dict_cols if c not in self._demoted]
+        if not cols:
             return []
-        agg = df.agg(*[F.collect_set(F.col(c)).alias(c) for c in self.dict_cols]).collect()[0]
+        approx = df.agg(
+            *[F.approx_count_distinct(F.col(c)).alias(c) for c in cols]
+        ).collect()[0]
+        eligible = []
+        for c in cols:
+            # known values + this batch's sketch (±5% padded 2×) vs ceiling
+            if len(self._values[c]) + 2 * int(approx[c] or 0) > 2 * DICT_MAX_GLOBAL_DISTINCT:
+                self._demoted.add(c)
+            else:
+                eligible.append(c)
+        if not eligible:
+            return []
+        agg = df.agg(*[F.collect_set(F.col(c)).alias(c) for c in eligible]).collect()[0]
         rows = []
-        for c in self.dict_cols:
+        for c in eligible:
             fresh = sorted(v for v in agg[c] if v is not None and v not in self._known[c])
             if not fresh:
+                continue
+            if len(self._values[c]) + len(fresh) > DICT_MAX_GLOBAL_DISTINCT:
+                self._demoted.add(c)  # sketch under-estimated: still degrade
                 continue
             is_delta = self._version > 0 or bool(self._values[c])
             rows.append(dict_row_for_values(c, fresh, version=self._version, is_delta=is_delta))
@@ -61,9 +89,12 @@ class StreamingEncoder:
         return rows
 
     def payload(self) -> dict:
+        # columns with no emitted values (e.g. demoted before any emit) are
+        # excluded: blocks must never reference a dict_id with no
+        # dictionary rows (an all-null batch would otherwise "succeed")
         return {
             c: {"dict_id": dict_id_for(c), "values": list(self._values[c])}
-            for c in self.dict_cols
+            for c in self.dict_cols if self._values[c]
         }
 
     def process_batch(self, df: DataFrame, batch_id: int) -> None:

@@ -36,15 +36,57 @@ def test_datasource_full_read(spark, enc_dir):
 
 
 def test_datasource_filter_pushdown_correct(spark, enc_dir):
+    from sparrow_ipc_spark.sources.datasource import read_encoded
+
     out, df = enc_dir
     some_conv = df.select("conv_id").orderBy("conv_id").limit(1).collect()[0][0]
-    got = (
-        spark.read.format("sparrow_ipc").load(out)
-        .where(f"conv_id = '{some_conv}' AND turn_idx >= 2")
-    )
+    # read_encoded wires .option("pushdown") from the session conf (true in
+    # the test session) → zone-map pruning active
+    got = read_encoded(spark, out).where(f"conv_id = '{some_conv}' AND turn_idx >= 2")
     want = df.where(f"conv_id = '{some_conv}' AND turn_idx >= 2")
     assert got.count() == want.count() > 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_datasource_degrades_without_pushdown_conf(spark, enc_dir):
+    """A session with filterPushdown disabled (the Spark default — e.g. the
+    driver harness) must read unpruned-but-correct instead of raising
+    DATA_SOURCE_PUSHDOWN_DISABLED (round-2 red CORRECTNESS row)."""
+    from sparrow_ipc_spark.sources.datasource import read_encoded
+
+    out, df = enc_dir
+    conf = "spark.sql.python.filterPushdown.enabled"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try:
+        # both the raw format read (no option) and read_encoded must work
+        got = spark.read.format("sparrow_ipc").load(out).where("turn_idx >= 2")
+        want = df.where("turn_idx >= 2")
+        assert got.count() == want.count() > 0
+        got2 = read_encoded(spark, out)
+        assert got2.count() == df.count()
+    finally:
+        spark.conf.set(conf, old)
+
+
+def test_datasource_row_group_parallelism(spark, tmp_path_factory):
+    """Decode partitions split per parquet row group (block granularity for
+    DS-written files), not per file: a single-task write with several
+    blocks still reads back with > n_files partitions."""
+    import os
+
+    from sparrow_ipc_spark.sources.transcripts import transcripts_df
+
+    spark.dataSource.register(SparrowIPCDataSource)
+    out = str(tmp_path_factory.mktemp("ds_rg") / "enc")
+    df = transcripts_df(spark, n_convs=60, seed=5).coalesce(1).cache()
+    (df.write.format("sparrow_ipc").mode("overwrite")
+       .option("batch_rows", 128).save(out))
+    n_files = len([f for f in os.listdir(f"{out}/blocks") if f.endswith(".parquet")])
+    back = spark.read.format("sparrow_ipc").load(out)
+    assert back.rdd.getNumPartitions() > n_files
+    assert back.count() == df.count()
+    assert df.exceptAll(back).count() == 0
 
 
 def test_datasource_column_pruning(spark, enc_dir):
@@ -187,6 +229,13 @@ def test_datasource_stream_writer(spark, tmp_path_factory):
     assert man.select("snapshot").distinct().count() >= 2
     ids = [r["part_id"] for r in man.collect()]
     assert len(ids) == len(set(ids))
+    # exactly-once: batch markers live INSIDE the atomically-swapped
+    # manifest dir (publish+marker commit in one rename) and survive the
+    # second run's manifest rewrite
+    import os
+
+    markers = [f for f in os.listdir(f"{out}/manifest") if f.startswith("_batch_")]
+    assert len(markers) >= 2
 
 
 def test_datasource_ts_range_filter(spark, enc_dir):

@@ -58,6 +58,17 @@ def test_stratified_sample_rates_and_determinism(docs):
     audit.assert_no_shuffle(P.stratified_sample(docs), "stratified_sample")
 
 
+def test_stratified_sample_rate_one_keeps_all(docs):
+    """rate ≥ 1.0 (incl. the fallback stratum) keeps EVERY row — the 'g'
+    sentinel sorts above all hex buckets, so no 1/65536 silent drop."""
+    out = P.stratified_sample(docs, rates={"en": 1.0, "de": 1.0, "fr": 1.0,
+                                           "es": 1.0}).collect()
+    assert len(out) == 300
+    # fallback stratum (absent from rates) also keeps everything
+    out2 = P.stratified_sample(docs, rates={"zz": 0.5}).collect()
+    assert len(out2) == 300
+
+
 def test_quality_filter_reasons(docs):
     out = {r["doc_id"]: r for r in P.quality_filter(docs).collect()}
     assert out[6]["reason"] == "null_text" and not out[6]["keep"]

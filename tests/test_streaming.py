@@ -40,6 +40,36 @@ def test_delta_dictionaries_roundtrip(spark, tmp_path_factory):
     assert rep["text_mismatches"] == 0
 
 
+def test_streaming_dict_cardinality_guard(spark, tmp_path_factory):
+    """A high-cardinality column listed as a dict col must DEMOTE to
+    block-local dictionaries (no unbounded collect_set to the driver every
+    micro-batch — the 10^12-row OOM shape), and still round-trip."""
+    from pyspark.sql import functions as F
+
+    import sparrow_ipc_spark.streaming.encode_stream as ES
+
+    out = str(tmp_path_factory.mktemp("stream_card"))
+    df = transcripts_df(spark, n_convs=60, seed=3).cache()
+    # conv_id is effectively unique per conversation — a mis-listed dict col
+    enc = StreamingEncoder(spark, out, dict_cols=("role", "conv_id"), n_parts=4)
+    old_max = ES.DICT_MAX_GLOBAL_DISTINCT
+    ES.DICT_MAX_GLOBAL_DISTINCT = 8  # force the ceiling at test scale
+    try:
+        b1 = df.where("substr(conv_id, -2, 2) < '30'")
+        enc.process_batch(b1, 0)
+        enc.process_batch(df.subtract(b1), 1)
+    finally:
+        ES.DICT_MAX_GLOBAL_DISTINCT = old_max
+    assert "conv_id" in enc._demoted
+    assert "role" not in enc._demoted and enc._values["role"]
+    dicts = spark.read.parquet(f"{out}/dictionaries")
+    assert dicts.where("col_name = 'conv_id'").count() == 0  # never emitted
+    # demoted column round-trips via block-local / other codecs
+    rep = roundtrip_report(df, decode_dir(spark, out))
+    assert rep["all_columns_identical"], rep
+    assert rep["text_mismatches"] == 0
+
+
 def test_streaming_source_plumbing(spark, tmp_path_factory):
     src_dir = str(tmp_path_factory.mktemp("stream_src"))
     out = str(tmp_path_factory.mktemp("stream_out"))
