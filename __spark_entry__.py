@@ -433,6 +433,120 @@ JOIN sizes sb ON sb.doc_id = i.id_b
 
 _SQL["ngram_jaccard_lsh"] = (_NGRAM_SPARK, _NGRAM_DUCK)
 
+
+# --- similarity-search oracles: exact cosine top-k in pure SQL ---------------
+# The engine computes every dot/norm as a LEFT-ASSOCIATIVE fold of
+# CAST(x AS DOUBLE) products (functions/similarity.py _dot/_norm), so a SQL
+# expression with the same association order is IEEE-bit-identical term by
+# term; cosine is rounded to 6 decimals on both sides to absorb the ~1e-15
+# tail from the one remaining difference (numpy's pairwise-summed query
+# norm vs the SQL fold).
+
+_EMB_DIM = 64
+
+
+def _dot_terms(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, _EMB_DIM + 1)
+    )
+
+
+_COSINE_SCORED = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           ORDER BY vec_id LIMIT 1),
+scored AS (
+  SELECT e.vec_id,
+         ({_dot_terms('e.embedding', 'q.qv')})
+         / (sqrt({_dot_terms('e.embedding', 'e.embedding')})
+            * sqrt({_dot_terms('q.qv', 'q.qv')})) AS c
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+)
+"""
+
+_COSINE_EXACT_DUCK = _COSINE_SCORED + """
+SELECT vec_id, ROUND(c, 6) AS cosine FROM scored
+ORDER BY c DESC, vec_id LIMIT 10
+"""
+
+_SQL["cosine_topk"] = (_COSINE_EXACT_DUCK, _COSINE_EXACT_DUCK)
+# ivf_topk probes ALL inverted lists in the contract query (n_probe =
+# n_centroids): assignment + probe + re-rank machinery is then provably
+# exact, so the exact-cosine SQL is its oracle; the approximate
+# (n_probe < n_centroids) path is pytest-covered instead
+_SQL["ivf_topk"] = (_COSINE_EXACT_DUCK, _COSINE_EXACT_DUCK)
+
+
+def _ann_oracle_duck(n_planes: int = 8) -> str:
+    """RHP-LSH replica in SQL: the seeded hyperplanes are embedded as
+    double literals, each plane's sign bit re-derived with the same
+    left-associative double dot product the engine uses, and the probe set
+    is exactly the engine's multiprobe=1 contract — Hamming(bucket,
+    q_bucket) ≤ 1."""
+    from sparrow_ipc_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(_EMB_DIM, n_planes, seed=42)
+
+    def bucket(col: str) -> str:
+        bits = []
+        for i, p in enumerate(planes):
+            dot = " + ".join(
+                f"CAST({col}[{j + 1}] AS DOUBLE) * ({float(v)!r})"
+                for j, v in enumerate(p)
+            )
+            bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END)")
+        return " + ".join(bits)
+
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           ORDER BY vec_id LIMIT 1),
+qb AS (SELECT ({bucket('q.qv')}) AS bucket FROM q),
+eb AS (
+  SELECT e.vec_id,
+         ({_dot_terms('e.embedding', 'q.qv')})
+         / (sqrt({_dot_terms('e.embedding', 'e.embedding')})
+            * sqrt({_dot_terms('q.qv', 'q.qv')})) AS c,
+         ({bucket('e.embedding')}) AS bucket
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+)
+SELECT eb.vec_id, ROUND(eb.c, 6) AS cosine
+FROM eb, qb
+WHERE bit_count(xor(CAST(eb.bucket AS BIGINT), CAST(qb.bucket AS BIGINT))) <= 1
+ORDER BY eb.c DESC, eb.vec_id LIMIT 10
+"""
+
+
+_ANN_DUCK = _ann_oracle_duck()
+_SQL["ann_topk"] = (_ANN_DUCK, _ANN_DUCK)
+
+
+def _simhash_near_duck(max_hamming: int = 3) -> str:
+    """Chunk-blocked md5-SimHash near pairs (the exact DuckDB mirror of
+    dedup.simhash_near_pairs_md5): same simhash, same 4×16-bit chunk
+    blocking (pigeonhole-exact for Hamming ≤ 3), same per-hex-digit
+    bit_count Hamming distance."""
+    hx = "'0123456789abcdef'"
+    ham = " + ".join(
+        f"bit_count(xor(CAST(strpos({hx}, substr(a.simhash, {k + 1}, 1)) - 1 AS BIGINT),"
+        f" CAST(strpos({hx}, substr(b.simhash, {k + 1}, 1)) - 1 AS BIGINT)))"
+        for k in range(16)
+    )
+    return f"""
+WITH s AS ({_simhash_sql('duck')}),
+c AS (SELECT doc_id, simhash, i AS chunk, substr(simhash, CAST(1 + 4*i AS INTEGER), 4) AS val
+      FROM s, UNNEST(range(0, 4)) u(i)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, ({ham}) AS hamming
+  FROM c a JOIN c b ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+_SIMHASH_NEAR_DUCK = _simhash_near_duck()
+_SQL["simhash_near_pairs"] = (_SIMHASH_NEAR_DUCK, _SIMHASH_NEAR_DUCK)
+
 # planted-exact-copy recall oracle: every vec_id gets an exact duplicate at
 # vec_id + 1000000; identical vectors land in the same RHP bucket by
 # construction, so the engine's LSH dedup must return exactly these pairs
@@ -618,32 +732,41 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> tuple[list[float], int]:
     return [float(v) for v in row["embedding"]], int(row["vec_id"])
 
 
+def _round6(df: DataFrame) -> DataFrame:
+    return df.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 vs the min-vec_id query vector (ANN baseline)."""
+    """Brute-force cosine top-10 vs the min-vec_id query vector (ANN
+    baseline) — oracle-checked against the exact-cosine SQL."""
     from sparrow_ipc_spark.functions.similarity import cosine_topk
 
     qv, qid = _query_vector(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") != qid)
-    return cosine_topk(emb, qv, k=10)
+    return _round6(cosine_topk(emb, qv, k=10))
 
 
 def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (the scale path of cosine_topk)."""
+    """LSH-bucketed approximate top-10 (the scale path of cosine_topk) —
+    oracle-checked against a SQL replica of the seeded hyperplane buckets
+    with the same multiprobe-1 probe set."""
     from sparrow_ipc_spark.functions.similarity import ann_topk
 
     qv, qid = _query_vector(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") != qid)
-    return ann_topk(emb, qv, k=10, n_planes=8)
+    return _round6(ann_topk(emb, qv, k=10, n_planes=8))
 
 
 def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat approximate top-10 (coarse k-means quantizer + probed
-    inverted lists) — the second scale path next to RHP-LSH."""
+    """IVF-Flat top-10 probing ALL 16 inverted lists: the coarse-quantizer
+    assignment + probe + re-rank machinery is then provably exact, so the
+    exact-cosine SQL is its oracle (partial-probe recall is pytest-covered,
+    tests/test_functions.py::test_ivf_topk)."""
     from sparrow_ipc_spark.functions.similarity import ivf_topk
 
     qv, qid = _query_vector(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") != qid)
-    return ivf_topk(emb, qv, k=10, n_centroids=16, n_probe=4)
+    return _round6(ivf_topk(emb, qv, k=10, n_centroids=16, n_probe=16))
 
 
 def _embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,11 +782,13 @@ def _embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xxhash64 SimHash near-dup pairs (16-bit-chunk blocked) — the fast
-    JVM-hash scale path; rows-only (xxhash64 has no DuckDB analog)."""
-    from sparrow_ipc_spark.functions.dedup import simhash_near_pairs
+    """md5-SimHash near-dup pairs (16-bit-chunk blocked), oracle-checked
+    against the same construction in DuckDB.  The xxhash64 variant
+    (dedup.simhash_near_pairs) is the JVM-fast scale path — same blocked
+    plan, pytest-covered (xxhash64 has no DuckDB analog)."""
+    from sparrow_ipc_spark.functions.dedup import simhash_near_pairs_md5
 
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return simhash_near_pairs_md5(_docs(spark, sf_dir), max_hamming=3)
 
 
 def _map_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

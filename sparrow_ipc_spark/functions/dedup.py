@@ -210,6 +210,39 @@ def simhash_near_pairs(df: DataFrame, col: str = "text", id_col: str = "doc_id",
     )
 
 
+def simhash_near_pairs_md5(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+                           max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs over the md5-derived SimHash (:func:`simhash_md5`) —
+    the ORACLE-parity variant of :func:`simhash_near_pairs` (xxhash64 has
+    no DuckDB analog; md5 evaluates identically in both engines).
+
+    Same blocked shape: candidates share one of four 4-hex-digit (16-bit)
+    chunks — by pigeonhole every pair within Hamming distance 3 shares a
+    chunk — then exact Hamming distance summed per hex digit via
+    ``bit_count(xor(digit_a, digit_b))``.  One equality-join on
+    (chunk, value); no all-pairs anywhere."""
+    sh = simhash_md5(df, col, id_col).persist()  # feeds both join sides
+    chunk_arr = F.array(*[F.substring("simhash", 1 + 4 * i, 4) for i in range(4)])
+    blocked = sh.select(F.col(id_col), "simhash",
+                        F.posexplode(chunk_arr).alias("chunk", "val"))
+    a = blocked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+                       "chunk", "val")
+    b = blocked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+                       "chunk", "val")
+    ham = F.lit(0)
+    for k in range(16):
+        da = F.instr(F.lit(_HEX), F.substring("sh_a", k + 1, 1)) - 1
+        db = F.instr(F.lit(_HEX), F.substring("sh_b", k + 1, 1)) - 1
+        ham = ham + F.bit_count(da.bitwiseXOR(db).cast("long"))
+    return (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, col: str = "text",
                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Exact word n-gram Jaccard similarity for candidate pairs.

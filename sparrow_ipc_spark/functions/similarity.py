@@ -25,8 +25,12 @@ def _dot(a, b):
 
 
 def _norm(c):
+    # square in DOUBLE (float32 squares would quantize each term to 1e-8
+    # relative — double keeps the whole fold IEEE-reproducible in any
+    # engine that sums CAST(x AS DOUBLE)² left-associatively)
     return F.sqrt(F.aggregate(F.col(c) if isinstance(c, str) else c,
-                              F.lit(0.0).cast("double"), lambda acc, x: acc + x * x))
+                              F.lit(0.0).cast("double"),
+                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
 def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,

@@ -58,6 +58,16 @@ def test_simhash_near_pairs(docs):
     assert pairs.get((0, 1)) == 0
 
 
+def test_simhash_near_pairs_md5(docs):
+    """The oracle-parity (md5) variant: identical behavior contract —
+    exact dup at hamming 0, near dup closer than unrelated text."""
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dedup.simhash_near_pairs_md5(docs, max_hamming=16).collect()}
+    assert pairs.get((0, 1)) == 0
+    if (0, 2) in pairs and (0, 3) in pairs:
+        assert pairs[(0, 2)] < pairs[(0, 3)]
+
+
 def test_text_operators(docs):
     tc = {r["doc_id"]: r["n_tokens"] for r in text.token_count(docs).collect()}
     assert tc[0] == 9 and tc[6] == 0 and tc[5] is None
