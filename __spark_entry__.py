@@ -857,7 +857,9 @@ def _datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("user_id").cast("long").alias("sum_user"),
         F.count("props").cast("long").alias("n_props"),
-        F.min(F.unix_micros(F.col("ts"))).alias("min_ts_us"),
+        # the read-back schema faithfully restores TIMESTAMP_NTZ (schema
+        # sidecar) — cast like the delta_ts oracle does (session tz is UTC)
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("min_ts_us"),
         F.sum(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("sum_value_mill"),
     )
 

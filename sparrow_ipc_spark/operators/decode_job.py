@@ -182,7 +182,7 @@ def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
 def decode_dir(
     spark: SparkSession,
     out_dir: str,
-    schema=TRANSCRIPTS_SCHEMA,
+    schema=None,
     columns: list[str] | None = None,
     conv_id: str | None = None,
     ts_range_us: tuple[int, int] | None = None,
@@ -191,7 +191,16 @@ def decode_dir(
     """``snapshot=K`` time-travels: only partitions committed by write jobs
     ≤ K are decoded (append-mode writes never rewrite committed parts, so
     the result is exactly the table as of that write; compaction rewrites
-    and therefore resets history for the parts it merges)."""
+    and therefore resets history for the parts it merges).
+
+    ``schema=None`` resolves from the directory's ``_schema.json`` sidecar
+    when present — restoring per-field custom key/value metadata and exact
+    nullability (the reference's custom_metadata contract) — else falls
+    back to the transcript schema."""
+    if schema is None:
+        from sparrow_ipc_spark.operators.encode_job import load_schema_sidecar
+
+        schema = load_schema_sidecar(out_dir) or TRANSCRIPTS_SCHEMA
     blocks_df = spark.read.parquet(f"{out_dir}/blocks")
     if snapshot is not None:
         man = spark.read.parquet(f"{out_dir}/manifest")

@@ -95,9 +95,22 @@ def _logical_of_spark(dt) -> str:
     raise ValueError(f"unsupported column type for encode: {s}")
 
 
+def fields_of_struct(schema) -> list[tuple[str, str]]:
+    """(name, logical_type) per StructField; raises on unsupported types
+    and on duplicate field names (block columns are keyed by name — a
+    silent second-wins collision would corrupt data; the designed error
+    matches the hazard the reference's ``duplicate_fieldnames`` golden
+    fixture probes, tests/test_de_serialization_with_files.cpp:26-641)."""
+    names = [f.name for f in schema.fields]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        raise ValueError(f"duplicate field names not supported by encode: {dupes}")
+    return [(f.name, _logical_of_spark(f.dataType)) for f in schema.fields]
+
+
 def infer_fields(df: DataFrame) -> list[tuple[str, str]]:
     """(name, logical_type) per column; raises on unsupported types."""
-    return [(f.name, _logical_of_spark(f.dataType)) for f in df.schema.fields]
+    return fields_of_struct(df.schema)
 
 
 def spark_schema_for(fields: list[tuple[str, str]]):
@@ -451,6 +464,37 @@ def manifest_from_blocks(blocks_df: DataFrame) -> DataFrame:
     )
 
 
+def write_schema_sidecar(out_dir: str, schema) -> None:
+    """Persist the FULL Spark schema (incl. per-field custom key/value
+    metadata and nullability) as ``_schema.json`` — the Schema-message
+    analog of the reference's end-to-end custom metadata
+    (/root/reference/src/metadata.cpp:7-23, flatbuffer_utils.cpp:481-499;
+    golden fixture ``custom_metadata``,
+    tests/test_de_serialization_with_files.cpp:33-68).  The underscore
+    prefix keeps it invisible to parquet dataset discovery."""
+    import json as _json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_schema.json"), "w") as f:
+        f.write(_json.dumps(schema.jsonValue()))
+
+
+def load_schema_sidecar(out_dir: str):
+    """StructType from ``_schema.json`` (None when absent — pre-sidecar
+    dirs decode against the caller-provided or inferred schema)."""
+    import json as _json
+    import os
+
+    import pyspark.sql.types as T
+
+    p = os.path.join(out_dir, "_schema.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return T.StructType.fromJson(_json.load(f))
+
+
 def write_encoded(
     spark: SparkSession,
     df: DataFrame,
@@ -540,6 +584,7 @@ def write_encoded(
     spark.createDataFrame(man_rows, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/manifest")
+    write_schema_sidecar(out_dir, df.schema)
     return {
         "blocks": sum(r["n_blocks"] for r in man_rows),
         "rows": sum(r["n_rows"] for r in man_rows),

@@ -403,7 +403,8 @@ def _manifest_schema():
 
 
 def _publish(path: str, staging: str, messages, overwrite: bool,
-             prev_snapshots: dict[int, int], marker: str | None = None) -> None:
+             prev_snapshots: dict[int, int], marker: str | None = None,
+             schema_json: str | None = None) -> None:
     """Move staged files into blocks/, append (or rewrite) the manifest
     from the commit messages, seed an empty dictionaries table.
 
@@ -460,6 +461,12 @@ def _publish(path: str, staging: str, messages, overwrite: bool,
         os.rename(man_dir, old)
     os.rename(tmp, man_dir)
     shutil.rmtree(old, ignore_errors=True)
+    if schema_json is not None:
+        # full Spark schema incl. per-field custom metadata (Schema-message
+        # analog; reference src/metadata.cpp:7-23) — readable by
+        # decode_dir and the DS schema() path
+        with open(os.path.join(path, "_schema.json"), "w") as sf:
+            sf.write(schema_json)
     dict_dir = os.path.join(path, "dictionaries")
     if not os.path.isdir(dict_dir):  # dict_local-only writes: empty table
         import pyarrow as pa2
@@ -489,13 +496,14 @@ class SparrowIPCWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, schema, overwrite: bool):
         import uuid
 
-        from sparrow_ipc_spark.operators.encode_job import _logical_of_spark
+        from sparrow_ipc_spark.operators.encode_job import fields_of_struct
 
         self.path = options.get("path")
         if not self.path:
             raise ValueError("sparrow_ipc requires a path: .save(out_dir)")
         self.overwrite = overwrite
-        self.fields = [(f.name, _logical_of_spark(f.dataType)) for f in schema.fields]
+        self.schema_json = schema.json()
+        self.fields = fields_of_struct(schema)
         self.batch_rows = int(options.get("batch_rows", 65536))
         self.staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:12]}")
         self.part_offset = 0
@@ -524,7 +532,7 @@ class SparrowIPCWriter(DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         _publish(self.path, self.staging, list(messages), self.overwrite,
-                 self.prev_snapshots)
+                 self.prev_snapshots, schema_json=self.schema_json)
 
     def abort(self, messages) -> None:
         import shutil
@@ -542,12 +550,13 @@ class SparrowIPCStreamWriter(DataSourceStreamArrowWriter):
     streaming encoder is ``streaming.encode_stream.StreamingEncoder``."""
 
     def __init__(self, options: dict, schema):
-        from sparrow_ipc_spark.operators.encode_job import _logical_of_spark
+        from sparrow_ipc_spark.operators.encode_job import fields_of_struct
 
         if not options.get("path"):
             raise ValueError("sparrow_ipc stream writer requires .option('path', out_dir)")
         self.path = options["path"]
-        self.fields = [(f.name, _logical_of_spark(f.dataType)) for f in schema.fields]
+        self.schema_json = schema.json()
+        self.fields = fields_of_struct(schema)
         self.batch_rows = int(options.get("batch_rows", 65536))
         # deterministic staging dir: executor-side writer copies can outlive
         # one query run (reused Python workers), so a per-instance uuid can
@@ -584,7 +593,7 @@ class SparrowIPCStreamWriter(DataSourceStreamArrowWriter):
         except Exception:
             prev = {}
         _publish(self.path, self.staging, msgs, overwrite=False, prev_snapshots=prev,
-                 marker=f"_batch_{batchId}")
+                 marker=f"_batch_{batchId}", schema_json=self.schema_json)
 
     def abort(self, messages, batchId: int) -> None:
         import shutil
@@ -609,12 +618,22 @@ class SparrowIPCDataSource(DataSource):
         return "sparrow_ipc"
 
     def schema(self):
-        from sparrow_ipc_spark.operators.encode_job import spark_schema_for
+        import pyspark.sql.types as T
 
-        fields = self._infer()
+        from sparrow_ipc_spark.operators.encode_job import (
+            load_schema_sidecar, spark_schema_for,
+        )
+
         cols_opt = self.options.get("columns")
-        if cols_opt:
-            keep = [c.strip() for c in cols_opt.split(",")]
+        keep = [c.strip() for c in cols_opt.split(",")] if cols_opt else None
+        # the _schema.json sidecar restores per-field custom key/value
+        # metadata + exact nullability; block metadata is the fallback
+        side = load_schema_sidecar(self.options["path"])
+        if side is not None:
+            fs = [f for f in side.fields if keep is None or f.name in keep]
+            return T.StructType(fs)
+        fields = self._infer()
+        if keep is not None:
             fields = [f for f in fields if f[0] in keep]
         return spark_schema_for(fields)
 

@@ -61,6 +61,40 @@ def test_map_nested_interval_roundtrip(spark):
     assert src == out
 
 
+def test_field_metadata_roundtrip(spark, tmp_path_factory):
+    """Per-field custom key/value metadata survives encode→decode — the
+    reference carries it end-to-end (src/metadata.cpp:7-23,
+    flatbuffer_utils.cpp:481-499; golden fixture ``custom_metadata``,
+    tests/test_de_serialization_with_files.cpp:33-68).  Checked through
+    BOTH surfaces: write_encoded/decode_dir and the Data Source."""
+    import pyspark.sql.types as T
+
+    from sparrow_ipc_spark.operators.decode_job import decode_dir
+    from sparrow_ipc_spark.operators.encode_job import write_encoded
+    from sparrow_ipc_spark.sources.datasource import SparrowIPCDataSource, read_encoded
+
+    meta = {"doc": "user identifier", "provenance": "crawl-2025", "pii": True}
+    schema = T.StructType([
+        T.StructField("uid", T.LongType(), False, metadata=meta),
+        T.StructField("name", T.StringType(), True, metadata={"doc": "display name"}),
+    ])
+    df = spark.createDataFrame([(i, f"u{i}") for i in range(50)], schema)
+    out = str(tmp_path_factory.mktemp("meta") / "enc")
+    write_encoded(spark, df, out, dict_cols=(), clustered=True)
+    dec = decode_dir(spark, out)
+    assert dec.schema["uid"].metadata == meta
+    assert dec.schema["name"].metadata == {"doc": "display name"}
+    assert not dec.schema["uid"].nullable
+    assert sorted(r["uid"] for r in dec.collect()) == list(range(50))
+    # data source surface
+    spark.dataSource.register(SparrowIPCDataSource)
+    out2 = str(tmp_path_factory.mktemp("meta") / "ds")
+    df.write.format("sparrow_ipc").mode("overwrite").save(out2)
+    back = read_encoded(spark, out2)
+    assert back.schema["uid"].metadata == meta
+    assert back.count() == 50
+
+
 def test_checksum_detects_corruption(spark, tmp_path_factory):
     import pyspark.sql.functions as F
 
