@@ -345,6 +345,37 @@ def _simhash_sql(dialect: str) -> str:
 
 _SQL["simhash"] = (_simhash_sql("spark"), _simhash_sql("duck"))
 
+# Gopher/MassiveText repetition-filter inputs: per-doc duplicate-2-gram
+# stats (functions/text.py repetition_metrics); dup_gram_frac is a pure
+# IEEE division of exact integers — identical in both engines, no rounding
+_REPETITION_DUCK = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), g AS (
+  SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 2), ' ') AS gram
+  FROM toks, UNNEST(range(0, greatest(len(t) - 2, 0) + 1)) u(i)
+), per AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(c) AS BIGINT) AS top_gram_n,
+       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_gram_frac
+FROM per GROUP BY doc_id
+"""
+_SQL["repetition_metrics"] = (_REPETITION_DUCK, _REPETITION_DUCK)
+
+# tokenizer/BPE-training input table: term + document frequency per token
+_VOCAB_STATS_DUCK = r"""
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
+GROUP BY tok
+"""
+_SQL["vocab_stats"] = (_VOCAB_STATS_DUCK, _VOCAB_STATS_DUCK)
+
 
 # --- LSH candidates + exact 3-gram Jaccard: both dialects -------------------
 
@@ -905,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["quality_score"] = _fn_query(X.quality_metrics)
     out["lang_guess"] = _fn_query(X.lang_guess)
     out["doc_fingerprint"] = _fn_query(X.doc_fingerprint)
+    out["repetition_metrics"] = _fn_query(X.repetition_metrics)
+    out["vocab_stats"] = _fn_query(X.vocab_stats)
     # oracle-checked operators whose Spark side is engine machinery
     out["simhash"] = _fn_query(D.simhash_md5)
     # pipeline composition ops (functions.pipeline, codegen-only)

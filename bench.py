@@ -99,17 +99,23 @@ def timed_encode(src: str, master: str, n_threads: int, reps: int = 2):
     return best, int(stats["rows"]), stats
 
 
-def timed_decode_verify(src: str) -> tuple[float, bool]:
+def timed_decode_verify(src: str, reps: int = 2) -> tuple[float, bool]:
     from sparrow_ipc_spark.operators.decode_job import decode_dir
     from sparrow_ipc_spark.operators.verify import roundtrip_report
 
     spark = fresh_session(f"local[{CPUS}]", CPUS)
     df = spark.read.parquet(src)
-    t0 = time.time()
-    rep = roundtrip_report(df, decode_dir(spark, f"{WORK}/enc_{CPUS}"))
-    wall = time.time() - t0
+    # warm JVM, python workers and module imports (same treatment as
+    # timed_encode — the cold first action costs ~9 s of pure startup)
+    decode_dir(spark, f"{WORK}/enc_{CPUS}").limit(10_000).count()
+    best, ok = float("inf"), False
+    for _ in range(reps):
+        t0 = time.time()
+        rep = roundtrip_report(df, decode_dir(spark, f"{WORK}/enc_{CPUS}"))
+        best = min(best, time.time() - t0)
+        ok = bool(rep["all_columns_identical"]) and rep["text_mismatches"] == 0
     spark.stop()
-    return wall, bool(rep["all_columns_identical"]) and rep["text_mismatches"] == 0
+    return best, ok
 
 
 def pyarrow_ipc_proxy(src: str) -> dict:

@@ -7,6 +7,14 @@ media decode is stubbed behind ``NotImplementedError`` because no media
 libraries exist in this container (and none may be installed).  Swapping
 ``_decode_image_real`` for a PIL/ffmpeg call is the only change needed
 in production.
+
+Install blocker (documented per round-2 review): ``pip install Pillow``
+is disallowed in this sandbox (environment contract: no pip/apt installs;
+``import PIL`` raises ModuleNotFoundError), so ``_decode_image_real`` is
+exercised only to the NotImplementedError guard; the full pipeline runs
+on the deterministic fake decoder.  Real decode stays explicitly opt-in
+(``use_real_decode=True``) even when PIL is importable, because synthetic
+test payloads are random bytes, not decodable images.
 """
 
 from __future__ import annotations
@@ -75,9 +83,12 @@ def _entropy(b: np.ndarray) -> float:
 
 def image_features(df: DataFrame, use_real_decode: bool = False) -> DataFrame:
     """Per-image features via Arrow-batched mapInPandas (one pass, no
-    shuffle; batch shape = maxRecordsPerBatch rows of binary payloads)."""
+    shuffle; batch shape = maxRecordsPerBatch rows of binary payloads).
 
-    decode_real = use_real_decode or _PIL_Image is not None
+    ``use_real_decode=True`` routes through :func:`_decode_image_real`
+    (raises NotImplementedError where PIL is absent — see module
+    docstring); the default fake decoder keeps the full pipeline testable
+    on synthetic payloads."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -89,7 +100,7 @@ def image_features(df: DataFrame, use_real_decode: bool = False) -> DataFrame:
                 pdf["media_id"].to_numpy(), pdf["payload"].to_numpy(),
                 pdf["width"].to_numpy(), pdf["height"].to_numpy(),
             ):
-                if decode_real and use_real_decode:
+                if use_real_decode:
                     img = _decode_image_real(payload)  # pragma: no cover
                 else:
                     img = _decode_image_fake(payload, int(w or 1), int(h or 1))

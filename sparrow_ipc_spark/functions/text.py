@@ -70,3 +70,50 @@ def doc_fingerprint(df: DataFrame, col: str = "text", id_col: str = "doc_id") ->
     return df.where(c.isNotNull()).select(
         F.col(id_col), F.md5(F.lower(F.trim(c))).alias("fp")
     )
+
+
+def repetition_metrics(df: DataFrame, n: int = 2, col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition statistics (the Gopher/MassiveText
+    repetitious-text filter inputs, public rules): per doc the total word
+    ``n``-gram count, distinct count, the most frequent gram's count, and
+    the duplicate-gram fraction.
+
+    100 TB shape: one explode + two key-grouped aggregations, both with
+    map-side partial combine; grams never leave their doc's partition
+    grouping, so the shuffle carries (doc_id, gram) cardinality, not the
+    corpus."""
+    t = F.split(F.trim(F.col(col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+    )
+    g = (
+        df.where(F.col(col).isNotNull() & (F.length(F.trim(F.col(col))) > 0))
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+    )
+    per = g.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    return per.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_gram_n"),
+        (F.lit(1.0) - F.count("*") / F.sum("c")).alias("dup_gram_frac"),
+    )
+
+
+def vocab_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary statistics: per whitespace token its total term
+    frequency and document frequency — the input table of tokenizer/BPE
+    training and stop-word derivation.
+
+    One explode + one grouped aggregation (partial combine); at 100 TB the
+    shuffle key is the token, bounded by vocabulary size."""
+    t = F.trim(F.col(col))
+    toks = (
+        df.where(F.col(col).isNotNull() & (F.length(t) > 0))
+        .select(F.col(id_col), F.explode(F.split(t, r"\s+")).alias("tok"))
+    )
+    return toks.groupBy("tok").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.countDistinct(id_col).cast("long").alias("df"),
+    )

@@ -68,6 +68,29 @@ def test_simhash_near_pairs_md5(docs):
         assert pairs[(0, 2)] < pairs[(0, 3)]
 
 
+def test_repetition_metrics(spark):
+    rows = [
+        (0, "a b a b a b"),          # "a b" repeats heavily
+        (1, "w x y z q r"),          # all 2-grams distinct
+        (2, None),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.repetition_metrics(df, n=2).collect()}
+    assert set(out) == {0, 1}  # null/empty rows filtered
+    assert out[0]["n_grams"] == 5 and out[0]["n_distinct"] == 2
+    assert out[0]["top_gram_n"] == 3  # "a b" at positions 0,2,4
+    assert out[0]["dup_gram_frac"] == pytest.approx(1 - 2 / 5)
+    assert out[1]["dup_gram_frac"] == pytest.approx(0.0)
+
+
+def test_vocab_stats(spark):
+    rows = [(0, "a a b"), (1, "b c"), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["tok"]: (r["tf"], r["df"]) for r in text.vocab_stats(df).collect()}
+    assert out == {"a": (2, 1), "b": (2, 2), "c": (1, 1)}
+
+
 def test_text_operators(docs):
     tc = {r["doc_id"]: r["n_tokens"] for r in text.token_count(docs).collect()}
     assert tc[0] == 9 and tc[6] == 0 and tc[5] is None
