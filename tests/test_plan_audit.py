@@ -95,3 +95,31 @@ def test_ivf_assign_no_shuffle(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     c = ivf_centroids(emb, n_centroids=4, sample=128)
     audit.assert_no_shuffle(ivf_assign(emb, c), "ivf_assign")
+
+
+def test_new_text_ops_plan_shape(spark):
+    """repetition_metrics / vocab_stats: bounded exchanges with map-side
+    partial aggregation, no Python eval, no cartesian product."""
+    from sparrow_ipc_spark.functions.text import repetition_metrics, vocab_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for name, df in (("repetition_metrics", repetition_metrics(docs)),
+                     ("vocab_stats", vocab_stats(docs))):
+        plan = audit.simple_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        # partial_ aggregates before each exchange (map-side combine)
+        assert "partial_" in audit.formatted_plan(df).lower() or \
+               "HashAggregate" in plan, name
+        assert audit.count_exchanges(df) <= 2, (name, audit.shuffle_exchanges(df))
+
+
+def test_simhash_near_pairs_md5_plan_shape(spark):
+    """Blocked join on (chunk, val): shuffle-on-key equality join, never a
+    cartesian/broadcast-nested-loop over all pairs."""
+    from sparrow_ipc_spark.functions.dedup import simhash_near_pairs_md5
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = audit.simple_plan(simhash_near_pairs_md5(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
