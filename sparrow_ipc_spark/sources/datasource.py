@@ -252,14 +252,24 @@ def _decode_file_rows(file: str, fields, columns, dict_rows,
     n_rg = pf.metadata.num_row_groups
     if rg_end < 0:
         rg_end = n_rg
+    meta_names = [n for n in pf.schema_arrow.names if n != "body"]
     for rg in range(rg_start, min(rg_end, n_rg)):
-        tbl = pf.read_row_group(rg).combine_chunks()
-        names = tbl.schema.names
-        body_col = tbl.column("body").chunk(0) if tbl.num_rows else None
-        for i in range(tbl.num_rows):
-            row = {n: tbl.column(n)[i].as_py() for n in names if n != "body"}
+        # two-phase read: tiny metadata columns first, zone-map check, and
+        # only surviving blocks pay the multi-MB body column I/O — a pruned
+        # point lookup never reads (or decompresses) pruned bodies at all
+        meta_tbl = pf.read_row_group(rg, columns=meta_names)
+        rows = []
+        for i in range(meta_tbl.num_rows):
+            row = {n: meta_tbl.column(n)[i].as_py() for n in meta_names}
             if bounds and not _survives(row, bounds):
                 continue
+            rows.append((i, row))
+        if not rows:
+            continue
+        body_col = pf.read_row_group(rg, columns=["body"]).column("body").combine_chunks()
+        if hasattr(body_col, "chunk"):  # ChunkedArray on older pyarrow
+            body_col = body_col.chunk(0)
+        for i, row in rows:
             row["body"] = memoryview(body_col[i].as_buffer())
             out = B.decode_block(row, ctx, columns=columns)
             yield from out.select(out_names).to_batches()
