@@ -568,6 +568,21 @@ class SparrowIPCStreamWriter(DataSourceStreamArrowWriter):
         self.schema_json = schema.json()
         self.fields = fields_of_struct(schema)
         self.batch_rows = int(options.get("batch_rows", 65536))
+        # part ids = part_offset + taskAttemptId.  Attempt ids are unique
+        # within one SparkContext but RESTART AT ZERO in a new one — a
+        # restarted query would otherwise reuse committed part ids and
+        # os.replace over published block files.  Offsetting past the
+        # committed manifest (the batch append path's scheme) makes ids
+        # unique across restarts.
+        self.part_offset = 0
+        try:
+            import pyarrow.parquet as pq
+
+            man = pq.read_table(os.path.join(self.path, "manifest")).to_pylist()
+            if man:
+                self.part_offset = max(int(r["part_id"]) for r in man) + 1
+        except Exception:
+            pass
         # deterministic staging dir: executor-side writer copies can outlive
         # one query run (reused Python workers), so a per-instance uuid can
         # diverge between the staging tasks and the committing driver;
@@ -579,8 +594,8 @@ class SparrowIPCStreamWriter(DataSourceStreamArrowWriter):
 
         tc = TaskContext.get()
         attempt = tc.taskAttemptId() if tc is not None else 0
-        return _encode_to_staged(batches, int(attempt), attempt, self.fields,
-                                 self.batch_rows, self.staging)
+        return _encode_to_staged(batches, self.part_offset + int(attempt), attempt,
+                                 self.fields, self.batch_rows, self.staging)
 
     def _marker(self, batch_id: int) -> str:
         # lives inside the manifest dir: swapped atomically WITH the

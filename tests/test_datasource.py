@@ -238,6 +238,38 @@ def test_datasource_stream_writer(spark, tmp_path_factory):
     assert len(markers) >= 2
 
 
+def test_stream_writer_replay_is_exactly_once(spark, tmp_path_factory):
+    """A replayed micro-batch commit (same batchId) must publish nothing:
+    the batch marker rides inside the atomically-swapped manifest dir, so
+    publish+marker commit together and the replay sees the marker."""
+    import pyarrow as pa
+
+    from sparrow_ipc_spark.operators.decode_job import decode_dir
+    from sparrow_ipc_spark.sources.datasource import SparrowIPCStreamWriter
+    from sparrow_ipc_spark.sources.transcripts import transcripts_pandas
+
+    out = str(tmp_path_factory.mktemp("ds_replay") / "enc")
+    pdf = transcripts_pandas(20, seed=9)
+    batch = pa.RecordBatch.from_pandas(pdf)
+    from sparrow_ipc_spark.schema import TRANSCRIPTS_SCHEMA
+
+    w = SparrowIPCStreamWriter({"path": out}, TRANSCRIPTS_SCHEMA)
+    msg = w.write(iter([batch]))
+    w.commit([msg], 7)
+    n1 = decode_dir(spark, out).count()
+    assert n1 == len(pdf)
+    # replay: stage the same batch again under the same batchId
+    w2 = SparrowIPCStreamWriter({"path": out}, TRANSCRIPTS_SCHEMA)
+    msg2 = w2.write(iter([batch]))
+    w2.commit([msg2], 7)  # marker present → staged files dropped
+    assert decode_dir(spark, out).count() == n1
+    # a NEW batchId still publishes
+    w3 = SparrowIPCStreamWriter({"path": out}, TRANSCRIPTS_SCHEMA)
+    msg3 = w3.write(iter([batch]))
+    w3.commit([msg3], 8)
+    assert decode_dir(spark, out).count() == 2 * n1
+
+
 def test_datasource_ts_range_filter(spark, enc_dir):
     out, df = enc_dir
     from pyspark.sql import functions as F

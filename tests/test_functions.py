@@ -68,6 +68,28 @@ def test_simhash_near_pairs_md5(docs):
         assert pairs[(0, 2)] < pairs[(0, 3)]
 
 
+def test_simhash_md5_blocking_is_exhaustive(spark):
+    """The 4×16-bit chunk blocking must find EVERY pair within Hamming
+    distance 3 (pigeonhole) — verified against a brute-force all-pairs
+    scan over the same md5 simhashes."""
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    for i in range(30):
+        words = base.split()
+        words[i % len(words)] = f"w{i}"          # light perturbations
+        rows.append((i, " ".join(words)))
+    rows += [(100, base), (101, base)]           # exact dup pair
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    sh = {r["doc_id"]: int(r["simhash"], 16)
+          for r in dedup.simhash_md5(df).collect()}
+    ids = sorted(sh)
+    want = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(sh[a] ^ sh[b]).count("1") <= 3}
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.simhash_near_pairs_md5(df, max_hamming=3).collect()}
+    assert got == want and (100, 101) in got
+
+
 def test_repetition_metrics(spark):
     rows = [
         (0, "a b a b a b"),          # "a b" repeats heavily
