@@ -351,10 +351,10 @@ _SQL["simhash"] = (_simhash_sql("spark"), _simhash_sql("duck"))
 _REPETITION_DUCK = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+  FROM documents WHERE text IS NOT NULL AND len(regexp_split_to_array(trim(text), '\s+')) >= 2
 ), g AS (
   SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 2), ' ') AS gram
-  FROM toks, UNNEST(range(0, greatest(len(t) - 2, 0) + 1)) u(i)
+  FROM toks, UNNEST(range(0, len(t) - 2 + 1)) u(i)
 ), per AS (
   SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
 )

@@ -85,11 +85,14 @@ def repetition_metrics(df: DataFrame, n: int = 2, col: str = "text",
     corpus."""
     t = F.split(F.trim(F.col(col)), r"\s+")
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+        F.sequence(F.lit(0), F.size(t) - n),
         lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
     )
+    # docs with fewer than n tokens have ZERO n-grams (no truncated
+    # partial gram) and are absent from the output — a repetition
+    # fraction over no grams is undefined
     g = (
-        df.where(F.col(col).isNotNull() & (F.length(F.trim(F.col(col))) > 0))
+        df.where(F.col(col).isNotNull() & (F.size(t) >= n))
         .select(F.col(id_col), F.explode(grams).alias("gram"))
     )
     per = g.groupBy(id_col, "gram").agg(F.count("*").alias("c"))

@@ -7,9 +7,9 @@ surface over the decode path (the user-facing analog of the reference's
 
 * schema inference from the committed block metadata (no user schema
   needed);
-* one input partition per parquet ROW GROUP (not per file) — decode
-  parallelism scales with data volume, not writer task count, and block
-  rows stay Arrow end-to-end;
+* input partitions span contiguous parquet row-group ranges (bounded
+  tasks per file) — decode parallelism scales with data volume, not
+  writer task count, and block rows stay Arrow end-to-end;
 * **filter pushdown into the block zone maps** (Spark 4 `pushFilters`):
   comparison filters on any zone-mapped column skip whole blocks before
   their bodies are ever read or decompressed.  Pushdown is PARTIAL by
@@ -30,8 +30,10 @@ surface over the decode path (the user-facing analog of the reference's
 All four quadrants are covered: ``spark.read`` / ``spark.readStream``
 (incremental decode of new block files from the checkpoint) and
 ``df.write`` / ``df.writeStream`` (staged per-task block files published
-by commit-message manifest under snapshots; micro-batch commits are
-exactly-once via batchId markers).
+by commit-message manifest under snapshots; micro-batch commits publish
+under deterministic batch-scoped names with the batchId marker swapped
+atomically with the manifest — replays are idempotent, never duplicating
+rows).
 
 Registration: ``spark.dataSource.register(SparrowIPCDataSource)``.
 """
@@ -173,18 +175,28 @@ class SparrowIPCReader(DataSourceReader):
         self.dict_rows = _load_dict_rows(self.path)
         self.bounds: dict[str, tuple[Any, Any]] = {}
 
+    # cap on decode tasks per file: each task re-parses the file footer
+    # (O(row groups)), so one-task-per-row-group on a many-block file would
+    # cost O(blocks²) footer work and a task-scheduling flood
+    MAX_TASKS_PER_FILE = 256
+
     def partitions(self) -> list[InputPartition]:
-        """One partition per parquet row group: writers emit small row
-        groups (``row_group_rows`` block rows each), so decode parallelism
-        tracks block count — not writer task count — with no shuffle."""
+        """Partitions span contiguous row-group ranges: writers emit one
+        block row per row group, so decode parallelism tracks block count —
+        not writer task count — while tasks per file stay bounded."""
         import pyarrow.parquet as pq
 
         parts: list[InputPartition] = []
         for f in _blocks_files(self.path):
             n_rg = pq.ParquetFile(f).metadata.num_row_groups
-            parts.extend(_FilePartition(f, i, i + 1) for i in range(n_rg))
             if n_rg == 0:
                 parts.append(_FilePartition(f, 0, 0))
+                continue
+            span = max(1, -(-n_rg // self.MAX_TASKS_PER_FILE))
+            parts.extend(
+                _FilePartition(f, s, min(s + span, n_rg))
+                for s in range(0, n_rg, span)
+            )
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -266,11 +278,21 @@ def _decode_file_rows(file: str, fields, columns, dict_rows,
             rows.append((i, row))
         if not rows:
             continue
-        body_col = pf.read_row_group(rg, columns=["body"]).column("body").combine_chunks()
-        if hasattr(body_col, "chunk"):  # ChunkedArray on older pyarrow
-            body_col = body_col.chunk(0)
+        # walk chunks WITHOUT combine_chunks(): legacy files (no
+        # row_group_size=1) can hold > 2 GiB of bodies per row group, which
+        # cannot be concatenated into one int32-offset binary array
+        body_col = pf.read_row_group(rg, columns=["body"]).column("body")
+        chunks = body_col.chunks if hasattr(body_col, "chunks") else [body_col]
+        starts = []
+        acc = 0
+        for ch in chunks:
+            starts.append(acc)
+            acc += len(ch)
         for i, row in rows:
-            row["body"] = memoryview(body_col[i].as_buffer())
+            for s, ch in zip(reversed(starts), reversed(chunks)):
+                if i >= s:
+                    row["body"] = memoryview(ch[i - s].as_buffer())
+                    break
             out = B.decode_block(row, ctx, columns=columns)
             yield from out.select(out_names).to_batches()
 
@@ -350,15 +372,17 @@ def _encode_to_staged(batches, part_id: int, attempt: int,
     rows, pending, pending_rows, seq = [], [], 0, 0
     codecs: set[tuple[str, str]] = set()
 
-    def flush():
+    def flush(final: bool = False):
         nonlocal pending, pending_rows, seq
         if not pending_rows:
             return
         tbl = pa.Table.from_batches(pending).combine_chunks()
-        pending, pending_rows = [], 0
-        # slice into batch_rows-sized blocks: incoming Arrow batches can be
-        # bigger than the requested block granularity
-        for start in range(0, tbl.num_rows, batch_rows):
+        # emit only FULL batch_rows-sized blocks; the sub-block tail stays
+        # pending for the next accumulation (a final flush emits it) —
+        # otherwise incoming batch sizes that don't divide batch_rows
+        # fragment the output with runt blocks
+        cut = tbl.num_rows if final else (tbl.num_rows // batch_rows) * batch_rows
+        for start in range(0, cut, batch_rows):
             chunk = tbl.slice(start, batch_rows).combine_chunks()
             if not chunk.num_rows:
                 continue
@@ -367,6 +391,9 @@ def _encode_to_staged(batches, part_id: int, attempt: int,
             for c in row["columns"]:
                 codecs.add((c["name"], c["codec"]))
             rows.append(row)
+        rest = tbl.slice(cut)
+        pending = rest.to_batches() if rest.num_rows else []
+        pending_rows = rest.num_rows
 
     for b in batches:
         if b.num_rows == 0:
@@ -375,7 +402,7 @@ def _encode_to_staged(batches, part_id: int, attempt: int,
         pending_rows += b.num_rows
         if pending_rows >= batch_rows:
             flush()
-    flush()
+    flush(final=True)
     os.makedirs(staging, exist_ok=True)
     fname = f"part-{part_id:05d}-{attempt}.parquet"
     out = pa.Table.from_pylist(rows, schema=arrow_block_schema())
@@ -414,16 +441,21 @@ def _manifest_schema():
 
 def _publish(path: str, staging: str, messages, overwrite: bool,
              prev_snapshots: dict[int, int], marker: str | None = None,
-             schema_json: str | None = None) -> None:
+             schema_json: str | None = None,
+             batch_tag: str | None = None) -> None:
     """Move staged files into blocks/, append (or rewrite) the manifest
     from the commit messages, seed an empty dictionaries table.
 
-    ``marker`` (stream commits): an underscore-prefixed marker file written
-    INTO the new manifest directory before its atomic rename — publish and
-    batch-commit marker land in one rename, so a crash can never leave the
-    batch published but unmarked (the at-least-once window a separate
-    post-publish marker write would open).  Parquet dataset discovery
-    (pyarrow and Spark both) ignores ``_``-prefixed files."""
+    Stream commits (``marker`` + ``batch_tag``): the batch marker file is
+    written INTO the new manifest directory before its atomic rename, so
+    manifest and marker commit together; and staged files publish under
+    DETERMINISTIC batch-scoped names (``{batch_tag}-{i}.parquet``), so a
+    replay of a crashed half-published commit overwrites the same file
+    names instead of adding duplicates — replay is idempotent.  A crash
+    mid-publish can expose a partial batch to readers until the restarted
+    query replays it to completion; it can never duplicate rows.  Parquet
+    dataset discovery (pyarrow and Spark both) ignores ``_``-prefixed
+    files."""
     import shutil
 
     import pyarrow as pa
@@ -434,8 +466,15 @@ def _publish(path: str, staging: str, messages, overwrite: bool,
         for sub in ("blocks", "dictionaries", "manifest"):
             shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
     os.makedirs(blocks_dir, exist_ok=True)
-    for m in messages:  # only files from SUCCESSFUL task attempts publish
-        os.replace(os.path.join(staging, m.file), os.path.join(blocks_dir, m.file))
+    messages = list(messages)
+    if batch_tag is not None:  # deterministic order → deterministic names
+        messages = sorted(messages, key=lambda m: (m.part_id, m.file))
+        names = [f"{batch_tag}-{i:05d}.parquet" for i in range(len(messages))]
+    else:
+        names = [m.file for m in messages]
+    for m, name in zip(messages, names):
+        # only files from SUCCESSFUL task attempts publish
+        os.replace(os.path.join(staging, m.file), os.path.join(blocks_dir, name))
     shutil.rmtree(staging, ignore_errors=True)
     snap = (max(prev_snapshots.values()) + 1) if prev_snapshots else 0
     man_rows = [
@@ -553,11 +592,14 @@ class SparrowIPCWriter(DataSourceArrowWriter):
 class SparrowIPCStreamWriter(DataSourceStreamArrowWriter):
     """``df.writeStream.format("sparrow_ipc")`` — each micro-batch encodes
     into staged block files and publishes under a new snapshot on commit.
-    Exactly-once: a committed batchId leaves a marker; a replayed commit
-    for the same batchId discards its staged files instead of publishing
-    twice.  Part ids come from the task attempt id (unique across batches
-    and retries).  Block-local dictionaries only — the delta-dictionary
-    streaming encoder is ``streaming.encode_stream.StreamingEncoder``."""
+    No-duplicate contract: a committed batchId leaves a marker inside the
+    atomically-swapped manifest dir (a replayed commit discards its staged
+    files), and published file names are deterministic per batch, so even
+    a replay of a crashed HALF-published commit overwrites the same names
+    instead of duplicating rows.  Part ids are manifest-offset + task
+    attempt id (unique across batches, retries, AND query restarts).
+    Block-local dictionaries only — the delta-dictionary streaming encoder
+    is ``streaming.encode_stream.StreamingEncoder``."""
 
     def __init__(self, options: dict, schema):
         from sparrow_ipc_spark.operators.encode_job import fields_of_struct
@@ -618,7 +660,8 @@ class SparrowIPCStreamWriter(DataSourceStreamArrowWriter):
         except Exception:
             prev = {}
         _publish(self.path, self.staging, msgs, overwrite=False, prev_snapshots=prev,
-                 marker=f"_batch_{batchId}", schema_json=self.schema_json)
+                 marker=f"_batch_{batchId}", schema_json=self.schema_json,
+                 batch_tag=f"batch-{batchId:08d}")
 
     def abort(self, messages, batchId: int) -> None:
         import shutil

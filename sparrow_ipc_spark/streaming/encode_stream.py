@@ -64,8 +64,12 @@ class StreamingEncoder:
         ).collect()[0]
         eligible = []
         for c in cols:
-            # known values + this batch's sketch (±5% padded 2×) vs ceiling
-            if len(self._values[c]) + 2 * int(approx[c] or 0) > 2 * DICT_MAX_GLOBAL_DISTINCT:
+            # gate the BATCH's sketch only (±5% padded 2×, same rule as the
+            # batch path): it bounds the collect_set the driver is about to
+            # pull; union growth past the ceiling is caught exactly after
+            # the collect below.  Counting known values here would demote
+            # stable vocabularies that merely re-observe themselves.
+            if 2 * int(approx[c] or 0) > 2 * DICT_MAX_GLOBAL_DISTINCT:
                 self._demoted.add(c)
             else:
                 eligible.append(c)
@@ -89,12 +93,18 @@ class StreamingEncoder:
         return rows
 
     def payload(self) -> dict:
-        # columns with no emitted values (e.g. demoted before any emit) are
-        # excluded: blocks must never reference a dict_id with no
-        # dictionary rows (an all-null batch would otherwise "succeed")
+        # excluded from the payload: columns with no emitted values (blocks
+        # must never reference a dict_id with no dictionary rows) AND
+        # demoted columns — a demoted column's frozen global dict would
+        # otherwise shadow the selector's dict_local candidate and force
+        # every block containing an unseen value down to raw/fsst, exactly
+        # on the high-cardinality columns demotion exists for.  Old blocks
+        # that referenced the global dict before demotion still decode
+        # against the committed dictionary rows.
         return {
             c: {"dict_id": dict_id_for(c), "values": list(self._values[c])}
-            for c in self.dict_cols if self._values[c]
+            for c in self.dict_cols
+            if self._values[c] and c not in self._demoted
         }
 
     def process_batch(self, df: DataFrame, batch_id: int) -> None:

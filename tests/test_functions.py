@@ -96,10 +96,11 @@ def test_repetition_metrics(spark):
         (1, "w x y z q r"),          # all 2-grams distinct
         (2, None),
         (3, ""),
+        (4, "solo"),                 # < n tokens: zero 2-grams, absent
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in text.repetition_metrics(df, n=2).collect()}
-    assert set(out) == {0, 1}  # null/empty rows filtered
+    assert set(out) == {0, 1}  # null/empty/sub-n rows have no n-grams
     assert out[0]["n_grams"] == 5 and out[0]["n_distinct"] == 2
     assert out[0]["top_gram_n"] == 3  # "a b" at positions 0,2,4
     assert out[0]["dup_gram_frac"] == pytest.approx(1 - 2 / 5)
