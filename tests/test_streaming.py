@@ -70,6 +70,52 @@ def test_streaming_dict_cardinality_guard(spark, tmp_path_factory):
     assert rep["text_mismatches"] == 0
 
 
+def test_streaming_demotion_after_emit_uses_dict_local(spark, tmp_path_factory):
+    """A column whose cardinality explodes AFTER dictionary values were
+    emitted demotes mid-stream: later blocks must use block-local (or
+    other) codecs — NOT freeze on the stale global dict and fall to raw —
+    and the whole table still round-trips; earlier blocks keep decoding
+    against the committed dictionary rows."""
+    from pyspark.sql import functions as F
+
+    import sparrow_ipc_spark.streaming.encode_stream as ES
+
+    out = str(tmp_path_factory.mktemp("stream_demote"))
+    df = transcripts_df(spark, n_convs=60, seed=11).cache()
+    b1 = df.where("substr(conv_id, -2, 2) < '30'").cache()
+    b2 = df.subtract(b1).cache()
+    # batch 1: 'role' is tiny (fits); batch 2: swap role for ~100 distinct
+    # values — above the (patched) global ceiling, but still block-local
+    # dictionary-compressible, so the selector should pick dict_local
+    b2_hot = b2.withColumn(
+        "role", F.concat(F.lit("r_"), F.substring("conv_id", -2, 2))
+    ).cache()
+    expected = b1.unionByName(b2_hot)
+    enc = StreamingEncoder(spark, out, dict_cols=("role",), n_parts=4)
+    old_max = ES.DICT_MAX_GLOBAL_DISTINCT
+    ES.DICT_MAX_GLOBAL_DISTINCT = 8
+    try:
+        enc.process_batch(b1, 0)
+        assert enc._values["role"] and "role" not in enc._demoted  # emitted
+        enc.process_batch(b2_hot, 1)
+    finally:
+        ES.DICT_MAX_GLOBAL_DISTINCT = old_max
+    assert "role" in enc._demoted
+    assert "role" not in enc.payload()  # stale global dict must not shadow
+    blocks = spark.read.parquet(f"{out}/blocks")
+    codecs = {
+        r["codec"] for r in blocks.select(F.explode("columns").alias("c"))
+        .select(F.col("c.name").alias("n"), F.col("c.codec").alias("codec"))
+        .where("n = 'role'").collect()
+    }
+    assert "dict" in codecs          # batch-1 blocks reference the global dict
+    # post-demotion blocks pick per-chunk winners (dict_local/rle/...)
+    # instead of freezing on the stale global dict
+    assert codecs - {"dict"}
+    rep = roundtrip_report(expected, decode_dir(spark, out))
+    assert rep["all_columns_identical"], rep
+
+
 def test_streaming_source_plumbing(spark, tmp_path_factory):
     src_dir = str(tmp_path_factory.mktemp("stream_src"))
     out = str(tmp_path_factory.mktemp("stream_out"))
