@@ -195,12 +195,16 @@ def decode_column(codec: str, meta: dict, buffers: dict[str, bytes], length: int
 
 
 def split_top_level(inner: str) -> list[str]:
-    """Split 'a: struct<x: t, y: t>, b: string' on top-level commas only."""
+    """Split 'a: struct<x: t, y: t>, b: string' on top-level commas only.
+
+    Tracks ``<>``, ``()`` and ``[]`` nesting: parameterized scalars carry
+    commas inside parens (``decimal128(18, 3)``), so a decimal nested in a
+    map/struct must not split on its precision/scale comma."""
     parts, depth, start = [], 0, 0
     for i, ch in enumerate(inner):
-        if ch == "<":
+        if ch in "<([":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)]":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(inner[start:i].strip())

@@ -80,3 +80,81 @@ def test_decimal_narrow_property(unscaled):
 
     vals = [None if v is None else Decimal(v).scaleb(-2) for v in unscaled]
     _roundtrip(pa.array(vals, type=pa.decimal128(18, 2)))
+
+
+# ---------------------------------------------------------------------------
+# Random-SCHEMA fuzzer: hypothesis draws an arbitrary nested type (depth ≤ 3
+# over the full supported scalar set) AND data for it — any (type, values)
+# pair the engine claims to support must round-trip through full codec
+# auto-selection.  This is the generalized form of the reference's
+# generated_* golden-fixture corpus.
+# ---------------------------------------------------------------------------
+
+_SCALARS = [
+    pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+    pa.uint32(), pa.uint64(), pa.float32(), pa.float64(), pa.bool_(),
+    pa.string(), pa.large_string(), pa.binary(), pa.timestamp("us"),
+    pa.date32(), pa.decimal128(18, 3),
+]
+
+random_type = st.recursive(
+    st.sampled_from(_SCALARS),
+    lambda inner: st.one_of(
+        inner.map(pa.list_),
+        inner.map(pa.large_list),
+        inner.map(lambda v: pa.map_(pa.string(), v)),
+        st.tuples(inner, inner).map(
+            lambda kv: pa.struct([("x", kv[0]), ("y", kv[1])])
+        ),
+    ),
+    max_leaves=3,
+)
+
+
+def _values_for(t: pa.DataType) -> st.SearchStrategy:
+    from decimal import Decimal
+
+    if pa.types.is_boolean(t):
+        base = st.booleans()
+    elif pa.types.is_unsigned_integer(t):
+        base = st.integers(0, 2 ** t.bit_width - 1)
+    elif pa.types.is_integer(t):
+        base = st.integers(-(2 ** (t.bit_width - 1)), 2 ** (t.bit_width - 1) - 1)
+    elif pa.types.is_floating(t):
+        base = st.floats(allow_nan=False,
+                         width=32 if pa.types.is_float32(t) else 64)
+    elif pa.types.is_decimal(t):
+        base = st.integers(-(10 ** 18 - 1), 10 ** 18 - 1).map(
+            lambda v: Decimal(v).scaleb(-t.scale))
+    elif pa.types.is_timestamp(t):
+        import datetime
+
+        base = st.integers(-2 ** 45, 2 ** 45).map(
+            lambda us: datetime.datetime(1970, 1, 1)
+            + datetime.timedelta(microseconds=us))
+    elif pa.types.is_date(t):
+        base = st.integers(-100_000, 100_000).map(
+            lambda d: __import__("datetime").date(1970, 1, 1)
+            + __import__("datetime").timedelta(days=d))
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        base = st.text(max_size=10)
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        base = st.binary(max_size=10)
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        base = st.lists(_values_for(t.value_type), max_size=3)
+    elif pa.types.is_map(t):
+        base = st.dictionaries(st.text(max_size=6), _values_for(t.item_type),
+                               max_size=3)
+    elif pa.types.is_struct(t):
+        base = st.fixed_dictionaries({f.name: _values_for(f.type) for f in t})
+    else:  # pragma: no cover
+        raise AssertionError(f"no strategy for {t}")
+    return st.one_of(st.none(), base)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_random_schema_roundtrip(data):
+    t = data.draw(random_type)
+    vals = data.draw(st.lists(_values_for(t), max_size=25))
+    _roundtrip(pa.array(vals, type=t))

@@ -61,6 +61,34 @@ def test_map_nested_interval_roundtrip(spark):
     assert src == out
 
 
+def test_decimal_inside_containers_roundtrip(spark):
+    """Regression (round-3 fuzzer find): a parameterized scalar nested in a
+    container — struct<amount: decimal128(18,3)> / map<string, decimal> —
+    must survive the logical-type string round trip (split_top_level used
+    to break on the comma inside 'decimal128(18, 3)')."""
+    from decimal import Decimal
+
+    rows = [
+        (i,
+         {"amount": Decimal(i * 7).scaleb(-3), "tag": f"t{i % 3}"},
+         {"price": Decimal(i).scaleb(-2)} if i % 4 else None)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, rec struct<amount: decimal(18,3), tag: string>, "
+        "m map<string, decimal(10,2)>",
+    )
+    fields = infer_fields(df)
+    blocks_df, dr, _ = encode_table(spark, df)
+    dec = decode_blocks(spark, blocks_df, dr, schema=spark_schema_for(fields))
+    canon = lambda rows: sorted(
+        tuple(str(sorted(x.items()) if isinstance(x, dict) else x) for x in r)
+        for r in rows
+    )
+    assert canon(df.collect()) == canon(dec.collect())
+
+
 def test_field_metadata_roundtrip(spark, tmp_path_factory):
     """Per-field custom key/value metadata survives encode→decode — the
     reference carries it end-to-end (src/metadata.cpp:7-23,
