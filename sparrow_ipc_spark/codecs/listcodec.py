@@ -247,8 +247,6 @@ def fixed_applicable(arr: pa.Array) -> int:
 
 
 def encode_fixed(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
-    import pyarrow.compute as pc
-
     k = fixed_applicable(arr)
     if k == 0:
         return None
@@ -260,10 +258,12 @@ def encode_fixed(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
     if pa.types.is_fixed_size_list(arr.type):
         child = arr.values.slice(arr.offset * k, n * k)
         if arr.null_count:
-            # canonicalize child slots under null list entries (determinism)
+            # canonicalize child slots under null list entries (determinism):
+            # take with null indices nulls the slots for EVERY child type
+            # (pc.if_else has no kernel for nested children like map)
             valid = np.logical_not(arr.is_null().to_numpy(zero_copy_only=False))
-            child = pc.if_else(pa.array(np.repeat(valid, k)), child,
-                               pa.scalar(None, type=child.type))
+            idx = np.arange(n * k, dtype=np.int64)
+            child = child.take(pa.array(idx, mask=np.repeat(~valid, k)))
     else:
         _, child = _canonical_offsets_child(arr)
     enc_child = _encode_child(child, ctx)

@@ -93,8 +93,10 @@ def test_decimal_narrow_property(unscaled):
 _SCALARS = [
     pa.int8(), pa.int16(), pa.int32(), pa.int64(),
     pa.uint32(), pa.uint64(), pa.float32(), pa.float64(), pa.bool_(),
-    pa.string(), pa.large_string(), pa.binary(), pa.timestamp("us"),
-    pa.date32(), pa.decimal128(18, 3),
+    pa.string(), pa.large_string(), pa.binary(), pa.large_binary(),
+    pa.timestamp("us"), pa.date32(), pa.date64(),
+    pa.time32("ms"), pa.time64("us"), pa.duration("us"),
+    pa.decimal128(18, 3), pa.decimal256(50, 5), pa.binary(7),
 ]
 
 random_type = st.recursive(
@@ -102,6 +104,7 @@ random_type = st.recursive(
     lambda inner: st.one_of(
         inner.map(pa.list_),
         inner.map(pa.large_list),
+        inner.map(lambda v: pa.list_(v, 3)),  # fixed-size list
         inner.map(lambda v: pa.map_(pa.string(), v)),
         st.tuples(inner, inner).map(
             lambda kv: pa.struct([("x", kv[0]), ("y", kv[1])])
@@ -112,34 +115,45 @@ random_type = st.recursive(
 
 
 def _values_for(t: pa.DataType) -> st.SearchStrategy:
+    import datetime
+
     from decimal import Decimal
 
     if pa.types.is_boolean(t):
         base = st.booleans()
     elif pa.types.is_unsigned_integer(t):
         base = st.integers(0, 2 ** t.bit_width - 1)
+    elif pa.types.is_time(t):
+        res = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[t.unit]
+        base = st.times().map(
+            lambda tm: tm.replace(microsecond=(tm.microsecond // res) * res))
+    elif pa.types.is_duration(t):
+        base = st.integers(-2 ** 45, 2 ** 45).map(
+            lambda us: datetime.timedelta(microseconds=us))
     elif pa.types.is_integer(t):
         base = st.integers(-(2 ** (t.bit_width - 1)), 2 ** (t.bit_width - 1) - 1)
     elif pa.types.is_floating(t):
         base = st.floats(allow_nan=False,
                          width=32 if pa.types.is_float32(t) else 64)
     elif pa.types.is_decimal(t):
-        base = st.integers(-(10 ** 18 - 1), 10 ** 18 - 1).map(
+        base = st.integers(-(10 ** t.precision - 1), 10 ** t.precision - 1).map(
             lambda v: Decimal(v).scaleb(-t.scale))
     elif pa.types.is_timestamp(t):
-        import datetime
-
         base = st.integers(-2 ** 45, 2 ** 45).map(
             lambda us: datetime.datetime(1970, 1, 1)
             + datetime.timedelta(microseconds=us))
     elif pa.types.is_date(t):
         base = st.integers(-100_000, 100_000).map(
-            lambda d: __import__("datetime").date(1970, 1, 1)
-            + __import__("datetime").timedelta(days=d))
+            lambda d: datetime.date(1970, 1, 1) + datetime.timedelta(days=d))
     elif pa.types.is_string(t) or pa.types.is_large_string(t):
         base = st.text(max_size=10)
+    elif pa.types.is_fixed_size_binary(t):
+        base = st.binary(min_size=t.byte_width, max_size=t.byte_width)
     elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
         base = st.binary(max_size=10)
+    elif pa.types.is_fixed_size_list(t):
+        base = st.lists(_values_for(t.value_type),
+                        min_size=t.list_size, max_size=t.list_size)
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
         base = st.lists(_values_for(t.value_type), max_size=3)
     elif pa.types.is_map(t):
