@@ -186,6 +186,14 @@ def test_random_schema_roundtrip(data):
     _roundtrip(_build_array(vals, t))
 
 
+@settings(max_examples=100, deadline=None)
+@given(random_type)
+def test_logical_type_string_identity(t):
+    """dtype_from_logical(logical_str(t)) == t for every supported type —
+    the parse the round-3 nested-decimal bug lived in."""
+    assert base.dtype_from_logical(base.logical_str(t)) == t
+
+
 @settings(max_examples=30, deadline=None)
 @given(st.data())
 def test_random_schema_block_roundtrip(data):
