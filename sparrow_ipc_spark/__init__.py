@@ -22,3 +22,26 @@ engine over tables of multi-turn conversation / agent transcripts:
 __version__ = "0.1.0"
 
 from sparrow_ipc_spark.session import get_spark  # noqa: F401
+
+# lazy top-level surface (PEP 562): the heavy operator modules load on
+# first use, not at package import
+_LAZY = {
+    "write_encoded": ("sparrow_ipc_spark.operators.encode_job", "write_encoded"),
+    "encode_table": ("sparrow_ipc_spark.operators.encode_job", "encode_table"),
+    "decode_dir": ("sparrow_ipc_spark.operators.decode_job", "decode_dir"),
+    "snapshots": ("sparrow_ipc_spark.operators.decode_job", "snapshots"),
+    "roundtrip_report": ("sparrow_ipc_spark.operators.verify", "roundtrip_report"),
+    "read_encoded": ("sparrow_ipc_spark.sources.datasource", "read_encoded"),
+    "SparrowIPCDataSource": ("sparrow_ipc_spark.sources.datasource",
+                             "SparrowIPCDataSource"),
+    "transcripts_df": ("sparrow_ipc_spark.sources.transcripts", "transcripts_df"),
+}
+
+
+def __getattr__(name: str):
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
