@@ -48,6 +48,27 @@ def applicable(t: pa.DataType) -> bool:
     )
 
 
+# patched-FoR knobs: exceptions are the values outside an order-statistic
+# window; several window candidates are costed and the byte-argmin wins
+# (a fixed [1%,99%] window misses blocks with 2-10% outliers — e.g. one
+# conversation-boundary jump every ~12-50 turns)
+PFOR_MIN_N = 64
+PFOR_MAX_EXC_FRAC = 0.25
+PFOR_WINDOWS = ((0.01, 0.99), (0.05, 0.95), (0.10, 0.90))
+
+
+def _pack_to(bufs: list, kind: str, u: np.ndarray, width: int) -> int:
+    """Append ``u`` packed at ``width`` bits (sub-byte dense matrix ≤8,
+    byte-aligned above); returns the byte-aligned stored width."""
+    if width <= 8:
+        if width:
+            bufs.append((kind, base.bitpack(u, width)))
+        return width
+    nbytes = (width + 7) // 8
+    bufs.append((kind, base.bytepack(u, nbytes)))
+    return nbytes * 8
+
+
 def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
     if not applicable(arr.type):
         return None
@@ -71,9 +92,55 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
     if len(e) == 0:
         meta.update(ref=0, width=0)
         return base.EncodedColumn(codec="for_bitpack", meta=meta, buffers=bufs)
+    m = len(e)
     ref = int(e.min())
     u = e.view(np.uint64) - np.uint64(ref & _MASK64)  # wrapping: exact mod 2^64
     width = base.bit_width(u)
+    plain_bytes = m * ((width + 7) // 8) if width else 0
+
+    # patched layout (PFoR): pack an order-statistic window at its own
+    # (much narrower) width and store the outliers — e.g. conversation-
+    # boundary timestamp jumps between small in-conversation deltas — as an
+    # exact (position, value) exception list.  Window candidates are costed
+    # exactly and the byte-argmin wins; exact order stats → pure function
+    # of chunk content (deterministic across retries).
+    # delta mode only: outliers-between-small-values is a delta phenomenon
+    # (boundary jumps); absolute-value distributions with wide outlier
+    # ranges are already served by raw+zstd, and the per-candidate sort is
+    # not free at 65k rows
+    if delta and m >= PFOR_MIN_N and width > 8:
+        es = np.sort(e)
+        pos_w = max(1, (base.bit_width(np.array([m - 1], dtype=np.uint64)) + 7) // 8)
+        best = None  # (patched_bytes, lo, width_p, exc_mask, n_exc)
+        for qlo, qhi in PFOR_WINDOWS:
+            lo = int(es[int(qlo * (m - 1))])
+            hi = int(es[int(qhi * (m - 1))])
+            width_p = base.bit_width(
+                np.array([np.uint64((hi - lo) & _MASK64)], dtype=np.uint64))
+            if width_p >= width or width_p >= 64:
+                continue
+            u_p = e.view(np.uint64) - np.uint64(lo & _MASK64)
+            exc_mask = u_p >= (np.uint64(1) << np.uint64(width_p)) if width_p \
+                else u_p != 0
+            n_exc = int(exc_mask.sum())
+            if n_exc > PFOR_MAX_EXC_FRAC * m:
+                continue
+            pb = m * ((width_p + 7) // 8) + n_exc * (pos_w + 8)
+            if pb < plain_bytes and (best is None or pb < best[0]):
+                best = (pb, lo, width_p, exc_mask, n_exc)
+        if best is not None:
+            _pb, lo, width_p, exc_mask, n_exc = best
+            u_p = e.view(np.uint64) - np.uint64(lo & _MASK64)
+            u_kept = np.where(exc_mask, np.uint64(0), u_p)
+            stored_w = _pack_to(bufs, "packed", u_kept, width_p)
+            pos = np.flatnonzero(exc_mask).astype(np.uint64)
+            bufs.append(("exc_pos", base.bytepack(pos, pos_w)))
+            bufs.append(("exc_val", base.bytepack(e[exc_mask].view(np.uint64), 8)))
+            meta.update(ref=lo, width=stored_w,
+                        pack="bits" if width_p <= 8 else "bytes",
+                        patched=True, n_exc=n_exc, pos_w=pos_w)
+            return base.EncodedColumn(codec="for_bitpack", meta=meta, buffers=bufs)
+
     # sub-byte bit-packing only where the dense bit matrix is cheap (≤8
     # bits); wider values use byte-aligned packing (memcpy-speed) and let
     # the zstd stage squeeze the ≤7 bits/value of high-zero slack
@@ -119,6 +186,11 @@ def decode(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.DataTyp
     else:
         u = base.bitunpack(buffers.get("packed", b""), m, width)
     e = (u + np.uint64(int(meta["ref"]) & _MASK64)).astype(np.uint64)
+    if meta.get("patched"):
+        n_exc = int(meta["n_exc"])
+        pos = base.byteunpack(buffers.get("exc_pos", b""), n_exc, int(meta["pos_w"]))
+        vals = base.byteunpack(buffers.get("exc_val", b""), n_exc, 8)
+        e[pos.astype(np.int64)] = vals
     if delta:
         first = np.uint64(int(meta["first"]) & _MASK64)
         v = np.concatenate(([first], first + np.cumsum(e, dtype=np.uint64))).view(np.int64)

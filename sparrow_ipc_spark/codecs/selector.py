@@ -34,6 +34,7 @@ DICT_MAX_RATIO = 0.25
 RLE_MIN_MEAN_RUN = 2.5
 FSST_MIN_AVG_LEN = 6.0
 DELTA_MONOTONIC_FRAC = 0.99
+DELTA_MOSTLY_FRAC = 0.5
 
 
 @dataclass
@@ -143,6 +144,11 @@ def candidates_for(arr: pa.Array, ctx: dict) -> list[tuple[str, dict]]:
         if n / runs >= RLE_MIN_MEAN_RUN:
             cands.append(("rle", {}))
         cands.append(("for_bitpack", {"delta": mono >= DELTA_MONOTONIC_FRAC}))
+        if DELTA_MOSTLY_FRAC <= mono < DELTA_MONOTONIC_FRAC:
+            # mostly-sorted (e.g. ts clustered by conversation): deltas are
+            # small except rare boundary jumps — exactly the patched-FoR
+            # shape, so offer the delta variant too and let argmin decide
+            cands.append(("for_bitpack", {"delta": True}))
     elif pa.types.is_boolean(t):
         cands.append(("rle", {}))
     elif pa.types.is_floating(t):

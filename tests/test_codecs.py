@@ -149,6 +149,56 @@ def test_forbp_property(values, delta):
     roundtrip("for_bitpack", arr, {"delta": delta})
 
 
+def test_forbp_patched_roundtrip():
+    """Patched FoR: clumpy small deltas + rare huge jumps (the clustered-ts
+    shape) pack at the narrow window width with an exact exception list."""
+    from sparrow_ipc_spark.codecs import forbp
+
+    rng = np.random.default_rng(9)
+    v, t = [], 10**15
+    for conv in range(40):
+        t += int(rng.integers(10**11, 10**13))          # boundary jump
+        t += 0
+        d = rng.integers(1_000_000, 2_000_000, size=50)  # ~21-bit deltas
+        v.append(t + np.cumsum(d)); t = int(v[-1][-1])
+    arr = pa.array(np.concatenate(v), type=pa.int64())
+    enc = roundtrip("for_bitpack", arr, {"delta": True})
+    assert enc.meta.get("patched") is True
+    assert 0 < enc.meta["n_exc"] <= 0.1 * len(arr)
+    assert enc.meta["width"] < 64
+    # with nulls in the middle (null slots canonicalized to 0 → they become
+    # outliers themselves; logical values must still round-trip)
+    vals = arr.to_pylist()
+    vals[5] = vals[100] = None
+    roundtrip("for_bitpack", pa.array(vals, type=pa.int64()), {"delta": True})
+
+
+def test_forbp_patched_negative_jumps():
+    """Out-of-order conversation starts: negative deltas at boundaries are
+    exceptions below the window (wrapping puts them above 2^width)."""
+    rng = np.random.default_rng(11)
+    v, t = [], 10**15
+    for conv in range(30):
+        t += int(rng.integers(-5 * 10**12, 5 * 10**12))  # signed jump
+        d = rng.integers(1_000_000, 2_000_000, size=60)
+        v.append(t + np.cumsum(d)); t = int(v[-1][-1])
+    arr = pa.array(np.concatenate(v), type=pa.int64())
+    enc = roundtrip("for_bitpack", arr, {"delta": True})
+    assert enc.meta.get("patched") is True
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.one_of(
+    st.integers(0, 1000),                      # window values
+    st.integers(-(2**62), 2**62)),             # occasional wild outliers
+    min_size=64, max_size=400))
+def test_forbp_patched_property(values):
+    """Any outlier mix round-trips exactly, patched or not."""
+    for delta in (False, True):
+        roundtrip("for_bitpack", pa.array(values, type=pa.int64()),
+                  {"delta": delta})
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.lists(st.one_of(st.integers(-1000, 1000), st.none()), min_size=1, max_size=300))
 def test_rle_property(values):
