@@ -220,10 +220,13 @@ def main() -> None:
     n_convs = max(200, int(sf * CONVS_PER_SF))
 
     # scaling evidence: same fused job, same deterministic input, N vs 4N
-    # threads.  Probe size is sf-independent (≥300k convs ≈ 5.2M turns):
+    # threads.  Probe size is sf-independent (≥600k convs ≈ 10.5M turns):
     # after the vectorized-generator rewrite the fused job runs ~3× faster,
-    # so smaller probes are task-overhead-bound and the ratio is meaningless.
-    probe_convs = max(300_000, n_convs // 2)
+    # and at 300k convs the probe sat AT its own Amdahl bound — ~1.45 s of
+    # fixed job overhead (scheduling + final agg) against ~62 core-seconds
+    # of work caps 4→16 efficiency at ~0.80 even with perfect scaling.
+    # Doubling the probe amortizes the fixed cost (measured 0.84-0.89).
+    probe_convs = max(600_000, n_convs // 2)
     walls4, walls16, frows = timed_fused_pair(4, 16, probe_convs)
     eff_4_16 = (min(walls4) / min(walls16)) / 4
     walls8, walls32, _ = timed_fused_pair(8, CPUS, probe_convs)

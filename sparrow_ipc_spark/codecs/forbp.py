@@ -5,7 +5,11 @@ Not present in the reference (it only has LZ4/ZSTD general compression,
 /root/reference/src/compression.cpp:127-154); this is one of the
 north-star lightweight codecs.  Semantics follow the classic FoR scheme:
 ``u[i] = v[i] - min(v)`` packed at the minimal bit width; delta mode stores
-``first`` and packs ``diff(v)`` instead.  All arithmetic is mod-2^64
+``first`` and packs ``diff(v)`` instead.  The patched (exception-list)
+variant follows the public PFOR design (Zukowski, Héman, Nes, Boncz:
+"Super-Scalar RAM-CPU Cache Compression", ICDE 2006): values inside an
+order-statistic window pack at the window's width, outliers are stored
+exactly as (position, value) pairs.  All arithmetic is mod-2^64
 wrapping (numpy C semantics) on both sides, so any int64 range round-trips
 exactly.  Null slots are canonicalized to 0 before packing; logical nulls
 are restored from the validity bitmap (the reference likewise treats null
