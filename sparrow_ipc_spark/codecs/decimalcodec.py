@@ -8,7 +8,9 @@ produces decimal128, so instead of a fixed narrow layout the unscaled
 values (|v| < 10^18 < 2^63 when precision ≤ 18) ride the existing
 frame-of-reference + bit-pack codec — strictly ≤ the reference's fixed
 4/8-byte encoding, and monotonic decimal columns (amounts accruing over
-time) additionally delta-pack.
+time) additionally delta-pack (including the patched exception-list mode,
+so accruing amounts with rare large corrections pack at the small-delta
+width — forbp.py PFoR).
 """
 
 from __future__ import annotations

@@ -173,6 +173,25 @@ def test_forbp_patched_roundtrip():
     roundtrip("for_bitpack", pa.array(vals, type=pa.int64()), {"delta": True})
 
 
+def test_dec_for_patched_roundtrip():
+    """Patched FoR rides through dec_for for free: accruing decimal
+    amounts with rare large corrections pack at the small-delta width."""
+    from decimal import Decimal
+
+    from sparrow_ipc_spark.codecs import decimalcodec
+
+    rng = np.random.default_rng(13)
+    v, t = [], 10**9
+    for seg in range(50):
+        t += int(rng.integers(-(10**12), 10**12))
+        d = rng.integers(100, 10000, size=100)
+        v.append(t + np.cumsum(d)); t = int(v[-1][-1])
+    vals = [Decimal(int(x)).scaleb(-2) for x in np.concatenate(v)]
+    arr = pa.array(vals, type=pa.decimal128(18, 2))
+    enc = roundtrip("dec_for", arr, {"delta": True})
+    assert enc.meta["fw"].get("patched") is True
+
+
 def test_forbp_patched_negative_jumps():
     """Out-of-order conversation starts: negative deltas at boundaries are
     exceptions below the window (wrapping puts them above 2^width)."""
