@@ -148,14 +148,8 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
     # sub-byte bit-packing only where the dense bit matrix is cheap (≤8
     # bits); wider values use byte-aligned packing (memcpy-speed) and let
     # the zstd stage squeeze the ≤7 bits/value of high-zero slack
-    if width <= 8:
-        meta.update(ref=ref, width=width, pack="bits")
-        if width:
-            bufs.append(("packed", base.bitpack(u, width)))
-    else:
-        nbytes = (width + 7) // 8
-        meta.update(ref=ref, width=nbytes * 8, pack="bytes")
-        bufs.append(("packed", base.bytepack(u, nbytes)))
+    stored_w = _pack_to(bufs, "packed", u, width)
+    meta.update(ref=ref, width=stored_w, pack="bits" if width <= 8 else "bytes")
     return base.EncodedColumn(codec="for_bitpack", meta=meta, buffers=bufs)
 
 

@@ -157,6 +157,9 @@ def candidates_for(arr: pa.Array, ctx: dict) -> list[tuple[str, dict]]:
         lo = decimalcodec.unscaled_int64(arr)
         mono = float((np.diff(lo) >= 0).mean()) if n > 1 else 1.0
         cands.append(("dec_for", {"delta": mono >= DELTA_MONOTONIC_FRAC}))
+        if DELTA_MOSTLY_FRAC <= mono < DELTA_MONOTONIC_FRAC:
+            # accruing amounts with rare corrections: the patched-FoR shape
+            cands.append(("dec_for", {"delta": True}))
     return cands
 
 

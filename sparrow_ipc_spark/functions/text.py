@@ -90,9 +90,12 @@ def repetition_metrics(df: DataFrame, n: int = 2, col: str = "text",
     )
     # docs with fewer than n tokens have ZERO n-grams (no truncated
     # partial gram) and are absent from the output — a repetition
-    # fraction over no grams is undefined
+    # fraction over no grams is undefined.  The trim-length guard keeps
+    # n=1 correct too: split('') == [''] would otherwise count one empty
+    # "gram" for an empty document
     g = (
-        df.where(F.col(col).isNotNull() & (F.size(t) >= n))
+        df.where(F.col(col).isNotNull()
+                 & (F.length(F.trim(F.col(col))) > 0) & (F.size(t) >= n))
         .select(F.col(id_col), F.explode(grams).alias("gram"))
     )
     per = g.groupBy(id_col, "gram").agg(F.count("*").alias("c"))

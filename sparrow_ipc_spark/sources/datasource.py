@@ -87,6 +87,25 @@ def _infer_fields(path: str) -> list[tuple[str, str]]:
     raise ValueError(f"no committed blocks under {path}; cannot infer schema")
 
 
+def _read_manifest_rows(path: str) -> list[dict]:
+    """Committed manifest rows, [] when no manifest exists yet.
+
+    A crash between _publish's two renames can leave only ``manifest.old``
+    on disk — fall back to it (it holds the last fully-committed state).
+    Real read errors (corrupt footer, IO) PROPAGATE: silently treating a
+    broken manifest as empty would restart part ids at 0 and overwrite
+    committed block files."""
+    import pyarrow.parquet as pq
+
+    man_dir = os.path.join(path, "manifest")
+    if not os.path.isdir(man_dir):
+        old = man_dir + ".old"
+        if not os.path.isdir(old):
+            return []
+        man_dir = old
+    return pq.read_table(man_dir).to_pylist()
+
+
 def _load_dict_rows(path: str) -> list[dict]:
     import pyarrow.parquet as pq
 
@@ -470,6 +489,13 @@ def _publish(path: str, staging: str, messages, overwrite: bool,
     if batch_tag is not None:  # deterministic order → deterministic names
         messages = sorted(messages, key=lambda m: (m.part_id, m.file))
         names = [f"{batch_tag}-{i:05d}.parquet" for i in range(len(messages))]
+        # a crashed half-publish may have left batch files from a PREVIOUS
+        # attempt with more tasks than this replay — remove every file of
+        # this batch not in the new name set, or it would duplicate rows
+        keep = set(names)
+        for f in os.listdir(blocks_dir) if os.path.isdir(blocks_dir) else []:
+            if f.startswith(f"{batch_tag}-") and f.endswith(".parquet") and f not in keep:
+                os.remove(os.path.join(blocks_dir, f))
     else:
         names = [m.file for m in messages]
     for m, name in zip(messages, names):
@@ -558,17 +584,14 @@ class SparrowIPCWriter(DataSourceArrowWriter):
         self.part_offset = 0
         self.prev_snapshots: dict[int, int] = {}
         if not overwrite:
-            try:
-                import pyarrow.parquet as pq
-
-                man = pq.read_table(os.path.join(self.path, "manifest")).to_pylist()
-                self.prev_snapshots = {
-                    int(r["part_id"]): int(r.get("snapshot", 0) or 0) for r in man
-                }
-                if self.prev_snapshots:
-                    self.part_offset = max(self.prev_snapshots) + 1
-            except Exception:
-                pass
+            # real manifest corruption raises (silently restarting part ids
+            # at 0 would overwrite committed block files)
+            man = _read_manifest_rows(self.path)
+            self.prev_snapshots = {
+                int(r["part_id"]): int(r.get("snapshot", 0) or 0) for r in man
+            }
+            if self.prev_snapshots:
+                self.part_offset = max(self.prev_snapshots) + 1
 
     def write(self, batches) -> _WriteMessage:
         from pyspark import TaskContext
@@ -617,14 +640,9 @@ class SparrowIPCStreamWriter(DataSourceStreamArrowWriter):
         # committed manifest (the batch append path's scheme) makes ids
         # unique across restarts.
         self.part_offset = 0
-        try:
-            import pyarrow.parquet as pq
-
-            man = pq.read_table(os.path.join(self.path, "manifest")).to_pylist()
-            if man:
-                self.part_offset = max(int(r["part_id"]) for r in man) + 1
-        except Exception:
-            pass
+        man = _read_manifest_rows(self.path)  # corruption raises, see helper
+        if man:
+            self.part_offset = max(int(r["part_id"]) for r in man) + 1
         # deterministic staging dir: executor-side writer copies can outlive
         # one query run (reused Python workers), so a per-instance uuid can
         # diverge between the staging tasks and the committing driver;
@@ -652,13 +670,8 @@ class SparrowIPCStreamWriter(DataSourceStreamArrowWriter):
             shutil.rmtree(self.staging, ignore_errors=True)  # replayed batch
             return
         msgs = [m for m in messages if m is not None]
-        try:
-            import pyarrow.parquet as pq
-
-            man = pq.read_table(os.path.join(self.path, "manifest")).to_pylist()
-            prev = {int(r["part_id"]): int(r.get("snapshot", 0) or 0) for r in man}
-        except Exception:
-            prev = {}
+        man = _read_manifest_rows(self.path)
+        prev = {int(r["part_id"]): int(r.get("snapshot", 0) or 0) for r in man}
         _publish(self.path, self.staging, msgs, overwrite=False, prev_snapshots=prev,
                  marker=f"_batch_{batchId}", schema_json=self.schema_json,
                  batch_tag=f"batch-{batchId:08d}")

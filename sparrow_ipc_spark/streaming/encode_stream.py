@@ -64,12 +64,14 @@ class StreamingEncoder:
         ).collect()[0]
         eligible = []
         for c in cols:
-            # gate the BATCH's sketch only (±5% padded 2×, same rule as the
-            # batch path): it bounds the collect_set the driver is about to
-            # pull; union growth past the ceiling is caught exactly after
-            # the collect below.  Counting known values here would demote
-            # stable vocabularies that merely re-observe themselves.
-            if 2 * int(approx[c] or 0) > 2 * DICT_MAX_GLOBAL_DISTINCT:
+            # gate the BATCH's sketch only (same 2× headroom as the batch
+            # path, encode_job.build_global_dicts: approx ≤ 2·ceiling
+            # absorbs HLL sketch error): it bounds the collect_set the
+            # driver is about to pull; union growth past the ceiling is
+            # caught exactly after the collect below.  Counting known
+            # values here would demote stable vocabularies that merely
+            # re-observe themselves.
+            if int(approx[c] or 0) > 2 * DICT_MAX_GLOBAL_DISTINCT:
                 self._demoted.add(c)
             else:
                 eligible.append(c)
