@@ -61,6 +61,85 @@ def test_map_nested_interval_roundtrip(spark):
     assert src == out
 
 
+def test_random_spark_schema_roundtrip(spark):
+    """Seeded random Spark schemas (nested array/map/struct over the full
+    scalar set incl. decimals and intervals) through encode_table →
+    decode_blocks — the Spark-surface companion of the pyarrow-level
+    random-schema fuzzer (tests/test_containers_property.py)."""
+    import datetime
+    import decimal
+    import random
+
+    import pyspark.sql.types as T
+
+    rnd = random.Random(17)
+    SCALARS = [T.LongType(), T.IntegerType(), T.ShortType(), T.DoubleType(),
+               T.FloatType(), T.BooleanType(), T.StringType(), T.BinaryType(),
+               T.DateType(), T.TimestampType(), T.DecimalType(14, 3),
+               T.DayTimeIntervalType()]
+
+    def rand_type(depth=0):
+        r = rnd.random()
+        if depth >= 2 or r < 0.5:
+            return rnd.choice(SCALARS)
+        if r < 0.7:
+            return T.ArrayType(rand_type(depth + 1))
+        if r < 0.85:
+            return T.MapType(T.StringType(), rand_type(depth + 1))
+        return T.StructType([T.StructField("a", rand_type(depth + 1)),
+                             T.StructField("b", rand_type(depth + 1))])
+
+    def rand_val(t):
+        if rnd.random() < 0.12:
+            return None
+        if isinstance(t, T.LongType):
+            return rnd.randint(-2**62, 2**62)
+        if isinstance(t, T.IntegerType):
+            return rnd.randint(-2**31, 2**31 - 1)
+        if isinstance(t, T.ShortType):
+            return rnd.randint(-2**15, 2**15 - 1)
+        if isinstance(t, (T.DoubleType, T.FloatType)):
+            return rnd.uniform(-1e6, 1e6)
+        if isinstance(t, T.BooleanType):
+            return rnd.random() < 0.5
+        if isinstance(t, T.StringType):
+            return "".join(rnd.choice("abcdé ") for _ in range(rnd.randint(0, 12)))
+        if isinstance(t, T.BinaryType):
+            return bytes(rnd.getrandbits(8) for _ in range(rnd.randint(0, 10)))
+        if isinstance(t, T.DateType):
+            return datetime.date(1970, 1, 1) + datetime.timedelta(
+                days=rnd.randint(-30000, 30000))
+        if isinstance(t, T.TimestampType):
+            return datetime.datetime(2020, 1, 1) + datetime.timedelta(
+                seconds=rnd.randint(0, 10**8))
+        if isinstance(t, T.DecimalType):
+            return decimal.Decimal(rnd.randint(-10**11, 10**11)).scaleb(-3)
+        if isinstance(t, T.DayTimeIntervalType):
+            return datetime.timedelta(seconds=rnd.randint(0, 10**6))
+        if isinstance(t, T.ArrayType):
+            return [rand_val(t.elementType) for _ in range(rnd.randint(0, 3))]
+        if isinstance(t, T.MapType):
+            return {f"k{i}": rand_val(t.valueType) for i in range(rnd.randint(0, 3))}
+        if isinstance(t, T.StructType):
+            return tuple(rand_val(f.dataType) for f in t.fields)
+        raise AssertionError(t)
+
+    canon = lambda rows: sorted(
+        tuple(str(sorted(x.items()) if isinstance(x, dict) else x) for x in r)
+        for r in rows)
+    for trial in range(6):
+        schema = T.StructType([T.StructField("id", T.LongType(), False)] + [
+            T.StructField(f"c{i}", rand_type()) for i in range(rnd.randint(1, 3))])
+        rows = [tuple([i] + [rand_val(f.dataType) for f in schema.fields[1:]])
+                for i in range(120)]
+        df = spark.createDataFrame(rows, schema)
+        fields = infer_fields(df)
+        blocks_df, dr, _ = encode_table(spark, df)
+        dec = decode_blocks(spark, blocks_df, dr, schema=spark_schema_for(fields))
+        assert canon(df.collect()) == canon(dec.collect()), \
+            f"trial {trial}: {schema.simpleString()}"
+
+
 def test_decimal_inside_containers_roundtrip(spark):
     """Regression (round-3 fuzzer find): a parameterized scalar nested in a
     container — struct<amount: decimal128(18,3)> / map<string, decimal> —
