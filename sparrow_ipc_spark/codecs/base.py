@@ -255,6 +255,17 @@ def _strip_field_name(part: str) -> str:
     return part
 
 
+def _check_struct_field_name(name: str) -> None:
+    """The logical-type grammar embeds struct field names verbatim — names
+    containing the grammar's own delimiters ('<', '>', ',', ': ') would
+    produce unparseable or silently misparsed type strings, so encode
+    refuses them loudly (the duplicate_fieldnames designed-error model)."""
+    if any(ch in name for ch in "<>,") or ": " in name:
+        raise ValueError(
+            f"struct field name {name!r} is not encodable (contains a "
+            "logical-type grammar delimiter: '<', '>', ',' or ': ')")
+
+
 def logical_str(t: pa.DataType) -> str:
     """Canonical logical-type string (the engine's format-string analog of
     the reference's type switch, /root/reference/src/flatbuffer_utils.cpp:86-447)."""
@@ -268,6 +279,10 @@ def logical_str(t: pa.DataType) -> str:
     if pa.types.is_list(t):
         return f"list<{logical_str(t.value_type)}>"
     if pa.types.is_struct(t):
+        if t.num_fields == 0:
+            raise ValueError("empty struct types are not encodable")
+        for i in range(t.num_fields):
+            _check_struct_field_name(t.field(i).name)
         inner = ", ".join(f"{t.field(i).name}: {logical_str(t.field(i).type)}"
                           for i in range(t.num_fields))
         return f"struct<{inner}>"

@@ -129,7 +129,10 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
             n_exc = int(exc_mask.sum())
             if n_exc > PFOR_MAX_EXC_FRAC * m:
                 continue
-            pb = m * ((width_p + 7) // 8) + n_exc * (pos_w + 8)
+            # exact stored size: sub-byte widths bitpack at ceil(m*w/8)
+            packed = (m * width_p + 7) // 8 if width_p <= 8 \
+                else m * ((width_p + 7) // 8)
+            pb = packed + n_exc * (pos_w + 8)
             if pb < plain_bytes and (best is None or pb < best[0]):
                 best = (pb, lo, width_p, exc_mask, n_exc)
         if best is not None:
@@ -173,7 +176,8 @@ def decode(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.DataTyp
            ctx: dict) -> pa.Array:
     valid = base.validity_from_bytes(buffers.get("validity"), length)
     n = int(meta["n"])
-    assert n == length
+    if n != length:  # explicit: asserts vanish under PYTHONOPTIMIZE
+        raise ValueError(f"for_bitpack block length {n} != field length {length}")
     if n == 0:
         return pa.array([], type=dtype)
     delta = bool(meta["delta"])

@@ -180,7 +180,8 @@ def decompress(enc: bytes, symtab: bytes, orig_len: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 def applicable(t: pa.DataType) -> bool:
-    return pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t)
+    return (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t))
 
 
 MAX_PASSES = 2
@@ -191,13 +192,21 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
         return None
     n = len(arr)
     ab = arr.buffers()
-    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    large = pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+    odt = np.int64 if large else np.int32
     if ab[1] is None or n == 0:
         offs = np.zeros(1, dtype=odt)
         data = b""
     else:
         offs = np.frombuffer(ab[1], dtype=odt, count=n + 1)
         data = ab[2].slice(0, int(offs[-1])).to_pybytes() if ab[2] is not None else b""
+    if len(data) >= 2**31:
+        # the vectorized matcher gathers with int32 positions; a >=2 GiB
+        # buffer would silently wrap — refuse loudly (the selector never
+        # sees such buffers at the 65k-row block contract)
+        raise ValueError(
+            f"fsst: data buffer of {len(data)} bytes exceeds the int32 "
+            "position space — lower the block row count")
     # iterated digram passes (Re-Pair/BPE-style): pass k's digrams expand
     # to up to 2^k source bytes, so 2 passes ≈ 4-byte symbols.  Keep a pass
     # only if it actually shrinks the stream; lengths recorded per pass so
@@ -243,7 +252,8 @@ def decode(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.DataTyp
             data = decompress(data, buffers[f"symtab{i}"], lens[i])
     else:  # legacy single-pass blocks
         data = decompress(buffers.get("data", b""), buffers["symtab"], int(meta["orig_len"]))
-    odt = np.int64 if pa.types.is_large_string(dtype) else np.int32
+    odt = (np.int64 if (pa.types.is_large_string(dtype)
+                        or pa.types.is_large_binary(dtype)) else np.int32)
     offsets = offs64.astype(odt)
     null_count = 0 if valid is None else int(length - valid.sum())
     vbuf = None if valid is None else pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())

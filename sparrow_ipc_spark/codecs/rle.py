@@ -90,7 +90,8 @@ def decode(meta: dict, buffers: dict[str, bytes], length: int, dtype: pa.DataTyp
     )
     lens = np.diff(run_ends, prepend=0)
     idx = np.repeat(np.arange(n_runs, dtype=np.int64), lens)
-    assert len(idx) == length
+    if len(idx) != length:  # explicit: asserts vanish under PYTHONOPTIMIZE
+        raise ValueError(f"rle run-ends expand to {len(idx)} values != {length}")
     return values.take(pa.array(idx, type=pa.int64()))
 
 

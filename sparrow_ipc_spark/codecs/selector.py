@@ -120,7 +120,11 @@ def candidates_for(arr: pa.Array, ctx: dict) -> list[tuple[str, dict]]:
         return [("struct", {})]
     if n == 0:
         return cands
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+        # binary columns share the string codecs (dict/rle/fsst all handle
+        # binary layouts): repeated tool-call payloads etc. dict- and
+        # run-compress exactly like low-cardinality strings
         distinct = _distinct_count(arr) if arr.null_count < n else 0
         mean_run = n / max(1, len(rle.run_bounds(arr)))
         if distinct <= DICT_MAX_DISTINCT and distinct <= max(256, n * DICT_MAX_RATIO):

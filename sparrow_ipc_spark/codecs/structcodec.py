@@ -25,19 +25,29 @@ def applicable(t: pa.DataType) -> bool:
 def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
     if not applicable(arr.type):
         return None
+    import numpy as np
+
     bufs: list[tuple[str, bytes]] = []
     vb = base.validity_bytes(arr)
     if vb is not None:
         bufs.append(("validity", vb))
+    null_idx = None
+    if arr.null_count:
+        # canonicalize child slots under null struct entries to null (take
+        # with null indices — works for every child type): encoded bytes
+        # must be a pure function of LOGICAL content, or Spark task retries
+        # / replay byte comparisons see spurious body differences from
+        # whatever junk the producer left under masked slots
+        valid_np = np.logical_not(arr.is_null().to_numpy(zero_copy_only=False))
+        null_idx = pa.array(np.arange(len(arr), dtype=np.int64), mask=~valid_np)
     children_meta = []
     for i in range(arr.type.num_fields):
         field = arr.type.field(i)
         child = arr.field(i)
+        if null_idx is not None:
+            child = child.take(null_idx)
         from sparrow_ipc_spark.codecs import selector
 
-        # struct-null slots: child values under a null struct are masked on
-        # decode; flatten() keeps them but field() preserves raw child —
-        # canonicalize via combine to zero-offset
         enc = selector.select_unframed(
             child, {**ctx, "col_name": f"{ctx.get('col_name', '')}.{field.name}"}
         )

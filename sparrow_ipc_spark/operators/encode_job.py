@@ -90,6 +90,12 @@ def _logical_of_spark(dt) -> str:
     if isinstance(dt, T.DecimalType):
         return f"decimal128({dt.precision}, {dt.scale})"
     if isinstance(dt, T.StructType):
+        from sparrow_ipc_spark.codecs.base import _check_struct_field_name
+
+        if not dt.fields:
+            raise ValueError("empty struct types are not encodable")
+        for c in dt.fields:
+            _check_struct_field_name(c.name)
         inner = ", ".join(f"{c.name}: {_logical_of_spark(c.dataType)}" for c in dt.fields)
         return f"struct<{inner}>"
     raise ValueError(f"unsupported column type for encode: {s}")

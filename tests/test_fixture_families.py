@@ -100,6 +100,58 @@ def test_nested_large_offsets_codec_roundtrip(arr):
     assert out.equals(arr), (enc.codec, out.type)
 
 
+def test_struct_delimiter_fieldnames_designed_error(spark):
+    """Field names containing the logical-type grammar's own delimiters
+    must refuse loudly at encode (misparse would corrupt sibling fields)."""
+    import pyspark.sql.types as T
+
+    for bad in ("a: b", "x,y", "w<z", "v>u"):
+        schema = T.StructType([T.StructField(
+            "s", T.StructType([T.StructField(bad, T.LongType())]))])
+        df = spark.createDataFrame([((1,),)], schema)
+        with pytest.raises(ValueError, match="not encodable"):
+            infer_fields(df)
+    with pytest.raises(ValueError, match="empty struct"):
+        base.logical_str(pa.struct([]))
+
+
+def test_struct_null_slot_canonicalization():
+    """Logically equal structs with different junk values under null slots
+    must encode to IDENTICAL bytes (pure function of logical content —
+    Spark task retries / body_crc32 comparisons)."""
+    from sparrow_ipc_spark.codecs import structcodec
+
+    t = pa.struct([("a", pa.int64())])
+    a1 = pa.StructArray.from_arrays(
+        [pa.array([1, 999, 3])], ["a"],
+        mask=pa.array([False, True, False]))
+    a2 = pa.StructArray.from_arrays(
+        [pa.array([1, -5, 3])], ["a"],
+        mask=pa.array([False, True, False]))
+    assert a1.equals(a2)  # logically equal (slot 1 is null)
+    e1 = structcodec.encode(a1.cast(t), {})
+    e2 = structcodec.encode(a2.cast(t), {})
+    assert [b for _, b in e1.buffers] == [b for _, b in e2.buffers]
+
+
+def test_binary_columns_get_string_codecs():
+    """Low-cardinality / run-heavy binary columns must be offered
+    dict/rle (not fall straight to raw) and round-trip."""
+    import json
+
+    payload = [b"tool-call-payload-A", b"tool-call-payload-B"]
+    arr = pa.array([payload[i % 2] for i in range(64) for _ in range(8)],
+                   type=pa.binary())
+    choice = selector.select_and_encode(arr, {"col_name": "payload"})
+    assert choice.encoded.codec in ("dict_local", "rle"), choice.encoded.codec
+    enc = choice.encoded
+    bufs = {k: base.decompress_buffer(f, gc)
+            for (k, _p), (_, gc, f) in zip(enc.buffers, choice.framed)}
+    out = base.decode_column(enc.codec, json.loads(json.dumps(enc.meta)),
+                             bufs, len(arr), arr.type, {})
+    assert out.to_pylist() == arr.to_pylist()
+
+
 def test_duplicate_fieldnames_designed_error(spark):
     import pyspark.sql.types as T
 
