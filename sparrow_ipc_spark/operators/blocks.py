@@ -168,68 +168,14 @@ def encode_batch(
     part_id: int,
     batch_seq: int,
 ) -> dict:
-    """Encode one pandas batch into one block row (dict matching BLOCK_SCHEMA)."""
-    n = len(pdf)
-    field_nodes, columns, buf_rows = [], [], []
-    body = bytearray()
-    dict_refs: set[int] = set()
-    raw_bytes = 0
-    enc_bytes = 0
-    for col_idx, (name, logical) in enumerate(fields):
-        arr = pa.Array.from_pandas(pdf[name], type=arrow_type_of(logical))
-        choice = selector.select_and_encode(arr, {**ctx, "col_name": name})
-        enc = choice.encoded
-        field_nodes.append({"name": name, "length": len(arr), "null_count": arr.null_count})
-        columns.append(
-            {
-                "name": name,
-                "logical_type": logical,
-                "codec": enc.codec,
-                "meta_json": json.dumps(enc.meta, separators=(",", ":")),
-                **zone_stats(arr),
-            }
-        )
-        if enc.codec == "dict":
-            dict_refs.add(int(enc.meta["dict_id"]))
-        for (kind, payload), (_, gcodec, framed) in zip(enc.buffers, choice.framed):
-            offset = len(body)
-            buf_rows.append(
-                {
-                    "col_idx": col_idx,
-                    "kind": kind,
-                    "codec": gcodec,
-                    "offset": offset,
-                    "comp_len": len(framed),
-                    "uncomp_len": len(payload),
-                }
-            )
-            body += base.pad8(framed)
-        raw_bytes += choice.raw_bytes
-        enc_bytes += choice.enc_bytes
-    conv_min = conv_max = None
-    ts_min = ts_max = None
-    if n and "conv_id" in pdf.columns:
-        conv_min, conv_max = str(pdf["conv_id"].min()), str(pdf["conv_id"].max())
-    if n and "ts" in pdf.columns:
-        ts_vals = pdf["ts"].astype("datetime64[us]").astype("int64")
-        ts_min, ts_max = int(ts_vals.min()), int(ts_vals.max())
-    return {
-        "part_id": part_id,
-        "batch_seq": batch_seq,
-        "n_rows": n,
-        "field_nodes": field_nodes,
-        "columns": columns,
-        "buffers": buf_rows,
-        "dict_refs": sorted(dict_refs),
-        "conv_min": conv_min,
-        "conv_max": conv_max,
-        "ts_min_us": ts_min,
-        "ts_max_us": ts_max,
-        "body": bytes(body),
-        "body_crc32": zlib.crc32(bytes(body)),
-        "raw_bytes": raw_bytes,
-        "enc_bytes": enc_bytes,
-    }
+    """Pandas entry point: convert and delegate to :func:`encode_batch_arrow`
+    — the arrow path is the single production kernel (a second hand-rolled
+    copy of the block-assembly logic had already drifted in its zone-stat
+    handling before being collapsed into this delegation)."""
+    arrays = [pa.Array.from_pandas(pdf[name], type=arrow_type_of(logical))
+              for name, logical in fields]
+    batch = pa.record_batch(arrays, names=[n for n, _ in fields])
+    return encode_batch_arrow(batch, fields, ctx, part_id, batch_seq)
 
 
 def decode_block(row: dict, ctx: dict, columns: list[str] | None = None) -> pa.Table:

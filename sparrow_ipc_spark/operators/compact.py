@@ -33,11 +33,31 @@ def compact_blocks(
     out_dir: str,
     small_rows: int = 8192,
     target_rows: int = 65536,
-    schema=TRANSCRIPTS_SCHEMA,
+    schema=None,
     dict_cols=None,
 ) -> dict:
     """Merge blocks with fewer than ``small_rows`` rows into ~``target_rows``
-    blocks.  Returns {before, after, compacted, rows_moved}."""
+    blocks.  Returns {before, after, compacted, rows_moved}.
+
+    ``schema=None`` resolves the directory's ``_schema.json`` sidecar (any
+    ``encode_table``-written dir compacts without arguments); clustering
+    keys come from ``_job.json`` when present, falling back to
+    conv_id/turn_idx if those columns exist, else a shuffle-free re-batch.
+
+    NOTE: the directory swap uses local-filesystem renames — compaction of
+    an object-store (s3a/hdfs) table needs a FileSystem-API commit instead;
+    every other job in the engine is URI-agnostic."""
+    import json as _json
+
+    from sparrow_ipc_spark.operators.encode_job import load_schema_sidecar
+
+    if schema is None:
+        schema = load_schema_sidecar(out_dir) or TRANSCRIPTS_SCHEMA
+    job: dict = {}
+    jp = os.path.join(out_dir, "_job.json")
+    if os.path.isfile(jp):
+        with open(jp) as jf:
+            job = _json.load(jf)
     blocks = spark.read.parquet(f"{out_dir}/blocks")
     meta = blocks.select("part_id", "n_rows").collect()
     before = len(meta)
@@ -53,10 +73,21 @@ def compact_blocks(
     part_offset = max(int(r["part_id"]) for r in meta) + 1
     n_parts = max(1, (rows_moved + target_rows - 1) // target_rows)
     cols = tuple(payload.keys()) if dict_cols is None else tuple(dict_cols)
-    new_blocks, _, _ = encode_transcripts(
-        spark, dec, n_parts=n_parts, dict_cols=cols, dict_payload=payload,
-        part_offset=part_offset,
-    )
+    names = [f.name for f in schema.fields]
+    cluster_by = job.get("cluster_by") if job.get("cluster_by") in names else (
+        "conv_id" if "conv_id" in names else None)
+    order_by = job.get("order_by") if job.get("order_by") in names else (
+        "turn_idx" if "turn_idx" in names else None)
+    if cluster_by:
+        new_blocks, _, _ = encode_transcripts(
+            spark, dec, n_parts=n_parts, dict_cols=cols, dict_payload=payload,
+            part_offset=part_offset, cluster_by=cluster_by, order_by=order_by,
+        )
+    else:  # generic table: shuffle-free re-batch into right-sized blocks
+        new_blocks, _, _ = encode_transcripts(
+            spark, dec.repartition(n_parts), dict_cols=cols,
+            dict_payload=payload, part_offset=part_offset, clustered=True,
+        )
     keep = blocks.where(F.col("n_rows") >= small_rows)
     combined = keep.unionByName(new_blocks)
 

@@ -17,7 +17,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sparrow_ipc_spark.operators import blocks
 from sparrow_ipc_spark.schema import TRANSCRIPTS_SCHEMA
@@ -207,9 +207,33 @@ def decode_dir(
         ids = [int(r["part_id"]) for r in
                man.where(man["snapshot"] <= int(snapshot)).select("part_id").collect()]
         blocks_df = blocks_df.where(blocks_df["part_id"].isin(ids))
+    # crash-idempotence: a resume that died between the block append and
+    # the manifest rewrite leaves its re-encoded partitions twice.  Blocks
+    # are a deterministic function of content, so those duplicates are
+    # BYTE-IDENTICAL — the dedupe key includes body_crc32, which keeps the
+    # streaming foreachBatch layout intact (micro-batches legitimately
+    # reuse (part_id, batch_seq) with different content).  Detection runs
+    # on the cheap metadata columns; the body-shuffling window runs ONLY
+    # in the recovery case, never on a healthy directory.
+    from pyspark.sql import Window
+
+    keys = blocks_df.select("part_id", "batch_seq", "body_crc32", "n_rows")
+    if keys.count() != keys.distinct().count():
+        w = Window.partitionBy("part_id", "batch_seq", "body_crc32",
+                               "n_rows").orderBy(F.lit(1))
+        blocks_df = (blocks_df.withColumn("_rn", F.row_number().over(w))
+                     .where(F.col("_rn") == 1).drop("_rn"))
     blocks_df = prune_blocks(blocks_df, conv_id=conv_id, ts_range_us=ts_range_us)
     dict_rows = [r.asDict() for r in spark.read.parquet(f"{out_dir}/dictionaries").collect()]
-    df = decode_blocks(spark, blocks_df, dict_rows, schema, columns=columns)
-    if conv_id is not None and (columns is None or "conv_id" in columns):
+    # an exact conv_id filter needs the conv_id COLUMN for row-level
+    # re-evaluation (zone maps prune only at block granularity): decode it
+    # internally when the caller's projection excludes it, then drop it
+    extra_conv = (conv_id is not None and columns is not None
+                  and "conv_id" not in columns)
+    dec_columns = (columns + ["conv_id"]) if extra_conv else columns
+    df = decode_blocks(spark, blocks_df, dict_rows, schema, columns=dec_columns)
+    if conv_id is not None:
         df = df.where(df["conv_id"] == conv_id)
+        if extra_conv:
+            df = df.drop("conv_id")
     return df

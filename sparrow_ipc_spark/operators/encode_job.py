@@ -249,12 +249,27 @@ def delta_dictionaries(
     cols = [c for c in cols if c in by_col]
     if not cols:
         return rows, payload
-    agg_row = df.agg(*[F.collect_set(F.col(c)).alias(c) for c in cols]).collect()[0]
+    # cardinality gate, same as build_global_dicts / the streaming tracker:
+    # an append whose data drifted to high cardinality must degrade to
+    # block-local dicts for its new values, never pull an unbounded
+    # distinct set into the driver
+    approx = df.agg(
+        *[F.approx_count_distinct(F.col(c)).alias(c) for c in cols]
+    ).collect()[0]
+    eligible = [c for c in cols
+                if int(approx[c] or 0) <= 2 * DICT_MAX_GLOBAL_DISTINCT]
+    agg_row = (df.agg(*[F.collect_set(F.col(c)).alias(c) for c in eligible])
+               .collect()[0] if eligible else {})
     for c in cols:
         prev_sorted = sorted(by_col[c], key=lambda r: int(r.get("version", 0) or 0))
         known = _dict_values_of(prev_sorted)
+        payload[c] = {"dict_id": dict_id_for(c), "values": known}
+        if c not in eligible:
+            continue  # known codes stay usable; new values go block-local
         kset = set(known)
         fresh = sorted(v for v in agg_row[c] if v is not None and v not in kset)
+        if len(known) + len(fresh) > DICT_MAX_GLOBAL_DISTINCT:
+            continue  # ceiling: degrade instead of unbounded dict growth
         if fresh:
             version = int(prev_sorted[-1].get("version", 0) or 0) + 1
             rows.append(dict_row_for_values(c, fresh, version=version, is_delta=True))
@@ -527,32 +542,52 @@ def write_encoded(
     /root/reference/src/dictionary_cache.cpp:20-111,
     dictionary_tracker.cpp:128-169).
     """
+    import json as _json
+    import os as _os
+
     skip: set[int] = set()
     mode = "overwrite"
     part_offset = 0
     prev_dicts: list[dict] | None = None
     prev_snapshots: dict[int, int] = {}  # part_id → snapshot that committed it
     this_snapshot = 0
-    if resume or append:
-        try:
-            prev = spark.read.parquet(f"{out_dir}/manifest")
-            prev_rows = prev.collect()
-            part_ids = {int(r["part_id"]) for r in prev_rows}
-            prev_snapshots = {
-                int(r["part_id"]): int(r.asDict().get("snapshot", 0) or 0)
-                for r in prev_rows
-            }
-            this_snapshot = (max(prev_snapshots.values()) + 1) if prev_snapshots else 0
-            mode = "append"
-            prev_dicts = [
-                r.asDict() for r in spark.read.parquet(f"{out_dir}/dictionaries").collect()
-            ]
-            if append:
-                part_offset = (max(part_ids) + 1) if part_ids else 0
-            else:
-                skip = part_ids
-        except Exception:
-            skip = set()
+    committed = _os.path.isdir(f"{out_dir}/manifest")
+    if (resume or append) and committed:
+        # NO broad except here: a readable-manifest-but-broken-dictionaries
+        # dir is corruption and must raise — swallowing it used to fall
+        # back to append mode over a stale skip set and silently duplicate
+        # every committed row
+        prev_rows = spark.read.parquet(f"{out_dir}/manifest").collect()
+        part_ids = {int(r["part_id"]) for r in prev_rows}
+        prev_snapshots = {
+            int(r["part_id"]): int(r.asDict().get("snapshot", 0) or 0)
+            for r in prev_rows
+        }
+        this_snapshot = (max(prev_snapshots.values()) + 1) if prev_snapshots else 0
+        mode = "append"
+        prev_dicts = [
+            r.asDict() for r in spark.read.parquet(f"{out_dir}/dictionaries").collect()
+        ]
+        if append:
+            part_offset = (max(part_ids) + 1) if part_ids else 0
+        else:
+            skip = part_ids
+            # the pruning expression replays pmod(hash, n_parts) — it MUST
+            # use the ORIGINAL run's n_parts or committed-part membership
+            # is recomputed against the wrong modulus (silent row loss /
+            # duplication).  _job.json records it; a recorded value always
+            # wins over the caller's argument.
+            job_p = _os.path.join(out_dir, "_job.json")
+            if _os.path.isfile(job_p):
+                with open(job_p) as jf:
+                    recorded = _json.load(jf).get("n_parts")
+                if recorded:
+                    n_parts = int(recorded)
+            elif n_parts is None:
+                raise ValueError(
+                    "resume=True needs the original n_parts: no _job.json "
+                    "sidecar found (pre-round-3 dir) and no n_parts given")
+    n_parts = n_parts or spark.sparkContext.defaultParallelism  # resolve once
     if prev_dicts is not None:
         # committed dictionaries are never rewritten: unseen values append
         # as delta rows and codes extend the existing assignment, so
@@ -591,6 +626,12 @@ def write_encoded(
         "overwrite"
     ).parquet(f"{out_dir}/manifest")
     write_schema_sidecar(out_dir, df.schema)
+    if not clustered:
+        # resume pruning must replay pmod(hash, n_parts) with the ORIGINAL
+        # modulus — record it (see the resume branch above)
+        with open(_os.path.join(out_dir, "_job.json"), "w") as jf:
+            _json.dump({"n_parts": int(n_parts), "salt_span": int(salt_span),
+                        "cluster_by": cluster_by, "order_by": order_by}, jf)
     return {
         "blocks": sum(r["n_blocks"] for r in man_rows),
         "rows": sum(r["n_rows"] for r in man_rows),

@@ -45,6 +45,26 @@ class StreamingEncoder:
         # incomplete), never driven through collect_set again
         self._demoted: set[str] = set()
         self._version = 0
+        # RESTART RECOVERY: rebuild tracker state from committed dictionary
+        # rows.  A fresh tracker after a stream restart would re-emit
+        # version-0 rows for the same dict_id and assign codes that collide
+        # with the committed assignment — decode merges rows by version, so
+        # post-restart blocks would silently decode to WRONG values.
+        import os
+
+        if os.path.isdir(f"{out_dir}/dictionaries"):
+            import pyarrow.parquet as pq
+
+            from sparrow_ipc_spark.operators.encode_job import payload_from_dict_rows
+
+            rows = pq.read_table(f"{out_dir}/dictionaries").to_pylist()
+            if rows:
+                committed = payload_from_dict_rows(rows)
+                for c, entry in committed.items():
+                    if c in self._values:
+                        self._values[c] = list(entry["values"])
+                        self._known[c] = set(entry["values"])
+                self._version = max(int(r.get("version", 0) or 0) for r in rows) + 1
 
     def _update_dictionaries(self, df: DataFrame) -> list[dict]:
         """Emit-once protocol: detect new values, emit one delta row per

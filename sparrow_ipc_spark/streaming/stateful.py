@@ -39,8 +39,14 @@ def _progress_fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) ->
     for pdf in pdfs:
         n += len(pdf)
         if len(pdf):
-            mx = max(mx, int(pdf["turn_idx"].max()))
-            ts = max(ts, int(pdf["ts"].astype("datetime64[us]").astype("int64").max()))
+            # dropna first: an all-null column arrives as float64 NaNs and
+            # int(NaN) would kill the streaming query
+            tv = pdf["turn_idx"].dropna()
+            if len(tv):
+                mx = max(mx, int(tv.max()))
+            sv = pdf["ts"].dropna()
+            if len(sv):
+                ts = max(ts, int(sv.astype("datetime64[us]").astype("int64").max()))
             for r in pdf["role"].dropna().unique():
                 rm |= _ROLE_BIT.get(str(r), 0)
     state.update((n, mx, ts, rm))

@@ -79,10 +79,45 @@ def test_crash_resume_completes_missing_partitions(spark, small_df, tmp_path_fac
     kept_blocks.write.mode("overwrite").parquet(f"{out}/blocks")
     kept_manifest.write.mode("overwrite").parquet(f"{out}/manifest")
 
-    stats = write_encoded(spark, small_df, out, n_parts=4, resume=True)
+    # resume with a DIFFERENT n_parts argument: the recorded _job.json
+    # value must win — replaying pmod(hash, n) with the wrong modulus
+    # silently loses/duplicates rows
+    stats = write_encoded(spark, small_df, out, n_parts=16, resume=True)
     assert stats["skipped_parts"] == 2
     man = spark.read.parquet(f"{out}/manifest")
     assert man.select("part_id").distinct().count() == 4
     rep = roundtrip_report(small_df, decode_dir(spark, out))
     assert rep["all_columns_identical"], rep
     assert rep["text_mismatches"] == 0
+
+
+def test_resume_crash_between_blocks_and_manifest(spark, small_df, tmp_path_factory):
+    """A resume that appended its blocks but died before the manifest
+    rewrite leaves those partitions twice; the deterministic blocks are
+    byte-identical, so decode keeps one copy per (part, seq, crc)."""
+    import os
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("enc_dup"))
+    write_encoded(spark, small_df, out, n_parts=4)
+    # simulate the double-append: copy every committed block file
+    bdir = f"{out}/blocks"
+    for f in list(os.listdir(bdir)):
+        if f.endswith(".parquet"):
+            shutil.copy2(os.path.join(bdir, f), os.path.join(bdir, "dup-" + f))
+    dec = decode_dir(spark, out)
+    assert dec.count() == small_df.count()  # duplicates collapsed
+    rep = roundtrip_report(small_df, dec)
+    assert rep["all_columns_identical"], rep
+
+
+def test_decode_dir_conv_filter_without_conv_column(spark, small_df, tmp_path_factory):
+    """conv_id point lookup with a projection that EXCLUDES conv_id must
+    still row-filter exactly (decode conv_id internally, then drop it)."""
+    out = str(tmp_path_factory.mktemp("enc_convfilter"))
+    write_encoded(spark, small_df, out, n_parts=4)
+    target = small_df.select("conv_id").orderBy("conv_id").limit(1).collect()[0][0]
+    got = decode_dir(spark, out, conv_id=target, columns=["text", "turn_idx"])
+    assert got.columns == ["text", "turn_idx"]
+    want = small_df.where(small_df["conv_id"] == target)
+    assert got.count() == want.count() > 0

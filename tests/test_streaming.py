@@ -116,6 +116,32 @@ def test_streaming_demotion_after_emit_uses_dict_local(spark, tmp_path_factory):
     assert rep["all_columns_identical"], rep
 
 
+def test_streaming_encoder_restart_recovers_dict_state(spark, tmp_path_factory):
+    """A RESTARTED stream (fresh StreamingEncoder over an existing dir)
+    must rebuild the dictionary tracker from committed rows: codes extend
+    the committed assignment instead of re-emitting version 0 — a fresh
+    tracker would silently decode post-restart blocks to WRONG values."""
+    out = str(tmp_path_factory.mktemp("stream_restart"))
+    df = transcripts_df(spark, n_convs=40, seed=23).cache()
+    b1 = df.where("substr(conv_id, -2, 2) < '50'").cache()
+    b2 = df.subtract(b1).cache()
+    enc1 = StreamingEncoder(spark, out, n_parts=4)
+    enc1.process_batch(b1, 0)
+    v1 = dict(enc1._values)
+    # simulate a stream restart: brand-new encoder instance, same out_dir
+    enc2 = StreamingEncoder(spark, out, n_parts=4)
+    assert enc2._values == v1          # state recovered from committed rows
+    assert enc2._version >= 1
+    enc2.process_batch(b2, 1)
+    dicts = spark.read.parquet(f"{out}/dictionaries").collect()
+    base_rows = [r for r in dicts if not r["is_delta"]]
+    # exactly one base emission per column — never a second version-0 row
+    assert len(base_rows) == len({r["col_name"] for r in base_rows})
+    rep = roundtrip_report(df, decode_dir(spark, out))
+    assert rep["all_columns_identical"], rep
+    assert rep["text_mismatches"] == 0
+
+
 def test_streaming_source_plumbing(spark, tmp_path_factory):
     src_dir = str(tmp_path_factory.mktemp("stream_src"))
     out = str(tmp_path_factory.mktemp("stream_out"))
