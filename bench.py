@@ -99,7 +99,13 @@ def timed_encode(src: str, master: str, n_threads: int, reps: int = 2):
     return best, int(stats["rows"]), stats
 
 
-def timed_decode_verify(src: str, reps: int = 2) -> tuple[float, bool]:
+def timed_decode_verify(src: str, reps: int = 2) -> tuple[float, float, bool]:
+    """(decode-only wall, verify wall, bit-identical).
+
+    decode-only = full materialization of every decoded column through a
+    noop sink (no verify work) — directly comparable to the proxy's
+    "decode the stream" number.  verify = the bit-compare roundtrip_report
+    against the source parquet (which re-decodes as part of its plan)."""
     from sparrow_ipc_spark.operators.decode_job import decode_dir
     from sparrow_ipc_spark.operators.verify import roundtrip_report
 
@@ -108,14 +114,54 @@ def timed_decode_verify(src: str, reps: int = 2) -> tuple[float, bool]:
     # warm JVM, python workers and module imports (same treatment as
     # timed_encode — the cold first action costs ~9 s of pure startup)
     decode_dir(spark, f"{WORK}/enc_{CPUS}").limit(10_000).count()
-    best, ok = float("inf"), False
+    dec_best, ver_best, ok = float("inf"), float("inf"), False
     for _ in range(reps):
         t0 = time.time()
+        decode_dir(spark, f"{WORK}/enc_{CPUS}").write.format("noop").mode(
+            "overwrite").save()
+        dec_best = min(dec_best, time.time() - t0)
+        t0 = time.time()
         rep = roundtrip_report(df, decode_dir(spark, f"{WORK}/enc_{CPUS}"))
-        best = min(best, time.time() - t0)
+        ver_best = min(ver_best, time.time() - t0)
         ok = bool(rep["all_columns_identical"]) and rep["text_mismatches"] == 0
     spark.stop()
-    return best, ok
+    return dec_best, ver_best, ok
+
+
+def kernel_microbench(reps: int = 3) -> dict:
+    """Single-core encode/decode kernel throughput (turns/s/core): one
+    65k-row synthetic batch driven straight through encode_batch_arrow /
+    decode_block with no Spark in the loop — the per-core number the
+    distributed walls should be read against (the proxy is likewise a
+    single process)."""
+    from sparrow_ipc_spark.operators import blocks as B
+    from sparrow_ipc_spark.operators.encode_job import infer_fields
+    from sparrow_ipc_spark.sources.transcripts import transcripts_df
+
+    spark = fresh_session("local[2]", 2)
+    df = transcripts_df(spark, n_convs=4000, seed=7, parallelism=2)
+    tbl = df.toArrow()
+    fields = infer_fields(df)
+    spark.stop()
+    batch = tbl.slice(0, 65536).combine_chunks().to_batches()[0]
+    n = batch.num_rows
+    enc_best = dec_best = float("inf")
+    row = None
+    for _ in range(reps):
+        ctx: dict = {"global_dicts": {}}
+        t0 = time.time()
+        row = B.encode_batch_arrow(batch, fields, ctx, 0, 0)
+        enc_best = min(enc_best, time.time() - t0)
+    dctx = {"dict_values": {}}
+    for _ in range(reps):
+        t0 = time.time()
+        B.decode_block(dict(row), dctx)
+        dec_best = min(dec_best, time.time() - t0)
+    return {
+        "batch_rows": n,
+        "encode_kernel_turns_per_sec_core": round(n / enc_best, 1),
+        "decode_kernel_turns_per_sec_core": round(n / dec_best, 1),
+    }
 
 
 def pyarrow_ipc_proxy(src: str) -> dict:
@@ -136,7 +182,17 @@ def pyarrow_ipc_proxy(src: str) -> dict:
     t0 = time.time()
     back = ipc.open_stream(buf).read_all()
     dec_wall = time.time() - t0
+    # decode-from-disk variant: same I/O medium as the engine's decode
+    # (which scans block parquet from disk), not a warm memory buffer
+    p = os.path.join(WORK, "proxy.arrows")
+    with open(p, "wb") as f:
+        f.write(buf.to_pybytes())
+    t0 = time.time()
+    with pa.OSFile(p, "rb") as f:
+        ipc.open_stream(f).read_all()
+    dec_file_wall = time.time() - t0
     return {"wall_s": round(wall, 3), "decode_wall_s": round(dec_wall, 3),
+            "decode_from_file_wall_s": round(dec_file_wall, 3),
             "bytes": int(buf.size), "rows": int(back.num_rows)}
 
 
@@ -241,13 +297,14 @@ def main() -> None:
     wall32, rows, stats32 = timed_encode(src, f"local[{CPUS}]", CPUS, reps=3)
     thr32 = rows / wall32
 
-    dec_wall, identical = timed_decode_verify(src)
+    dec_wall, ver_wall, identical = timed_decode_verify(src)
+    kernels = kernel_microbench()
     proxy = pyarrow_ipc_proxy(src)
     queries = time_queries(SF_DIR)
 
     result = {
         "metric": "encode+decode+verify wall (s); throughput turns/s at 8 and 32 threads",
-        "value": round(wall32 + dec_wall, 3),
+        "value": round(wall32 + dec_wall + ver_wall, 3),
         "unit": "sec",
         "sf": sf,
         "queries": queries,
@@ -265,7 +322,10 @@ def main() -> None:
         "scaling_walls_8": [round(w, 3) for w in walls8],
         "scaling_walls_32": [round(w, 3) for w in walls32],
         "scaling_efficiency_per_round": eff_rounds,
-        "decode_verify_wall": round(dec_wall, 3),
+        "decode_wall": round(dec_wall, 3),
+        "verify_wall": round(ver_wall, 3),
+        "decode_verify_wall": round(dec_wall + ver_wall, 3),
+        "kernel_microbench": kernels,
         "bit_identical": identical,
         "enc_bytes": int(stats32["enc_bytes"]),
         "raw_bytes": int(stats32["raw_bytes"]),

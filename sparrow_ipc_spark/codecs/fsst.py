@@ -202,11 +202,11 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
         data = ab[2].slice(0, int(offs[-1])).to_pybytes() if ab[2] is not None else b""
     if len(data) >= 2**31:
         # the vectorized matcher gathers with int32 positions; a >=2 GiB
-        # buffer would silently wrap — refuse loudly (the selector never
-        # sees such buffers at the 65k-row block contract)
-        raise ValueError(
-            f"fsst: data buffer of {len(data)} bytes exceeds the int32 "
-            "position space — lower the block row count")
+        # buffer would silently wrap.  Arrow's large_string/large_binary
+        # legitimately exceed 2 GiB even at the 65k-row block contract, so
+        # bow out and let the selector fall through to raw/dict/rle+zstd
+        # candidates instead of failing the whole encode job.
+        return None
     # iterated digram passes (Re-Pair/BPE-style): pass k's digrams expand
     # to up to 2^k source bytes, so 2 passes ≈ 4-byte symbols.  Keep a pass
     # only if it actually shrinks the stream; lengths recorded per pass so

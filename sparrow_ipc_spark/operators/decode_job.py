@@ -218,7 +218,14 @@ def decode_dir(
     from pyspark.sql import Window
 
     keys = blocks_df.select("part_id", "batch_seq", "body_crc32", "n_rows")
-    if keys.count() != keys.distinct().count():
+    # single Spark job (one agg comparing total vs distinct), not two
+    # full-metadata counts — this runs on every healthy read, so its cost
+    # is hot-path latency
+    chk = keys.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("part_id", "batch_seq", "body_crc32", "n_rows").alias("d"),
+    ).first()
+    if int(chk["n"] or 0) != int(chk["d"] or 0):
         w = Window.partitionBy("part_id", "batch_seq", "body_crc32",
                                "n_rows").orderBy(F.lit(1))
         blocks_df = (blocks_df.withColumn("_rn", F.row_number().over(w))

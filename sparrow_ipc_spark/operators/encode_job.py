@@ -485,6 +485,29 @@ def manifest_from_blocks(blocks_df: DataFrame) -> DataFrame:
     )
 
 
+def require_local_dir(path: str) -> str:
+    """The commit plane (committed-state probe, ``_schema.json`` /
+    ``_job.json`` sidecars, resume markers) uses local-filesystem
+    primitives (``os.path``, ``open``).  On an object-store URI
+    (``s3a://``, ``hdfs://``, ...) those silently report "not committed"
+    and degrade an append/resume into an overwrite that deletes committed
+    blocks — so refuse loudly instead.  Bare paths and ``file:`` URIs are
+    accepted (``file:`` prefix stripped)."""
+    import re as _re
+
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://?(.*)$", path)
+    if m is None:
+        return path
+    if m.group(1) == "file":
+        p = m.group(2)
+        return "/" + p.lstrip("/") if p else "/"
+    raise ValueError(
+        f"write_encoded commit plane is local-filesystem only (got scheme "
+        f"'{m.group(1)}://'): the committed-state probe and sidecar files "
+        "use os.path/open, which would silently degrade append/resume to "
+        "overwrite on an object store. Point out_dir at a local path.")
+
+
 def write_schema_sidecar(out_dir: str, schema) -> None:
     """Persist the FULL Spark schema (incl. per-field custom key/value
     metadata and nullability) as ``_schema.json`` — the Schema-message
@@ -545,6 +568,7 @@ def write_encoded(
     import json as _json
     import os as _os
 
+    out_dir = require_local_dir(out_dir)
     skip: set[int] = set()
     mode = "overwrite"
     part_offset = 0
@@ -572,17 +596,25 @@ def write_encoded(
             part_offset = (max(part_ids) + 1) if part_ids else 0
         else:
             skip = part_ids
-            # the pruning expression replays pmod(hash, n_parts) — it MUST
-            # use the ORIGINAL run's n_parts or committed-part membership
-            # is recomputed against the wrong modulus (silent row loss /
-            # duplication).  _job.json records it; a recorded value always
-            # wins over the caller's argument.
+            # the pruning expression replays pmod(hash(cluster_by, salt),
+            # n_parts) — it MUST use the ORIGINAL run's n_parts AND
+            # salt_span AND cluster/order keys, or committed-part
+            # membership is recomputed against the wrong modulus/key
+            # (silent row loss / duplication).  _job.json records all of
+            # them; a recorded value always wins over the caller's
+            # argument.
             job_p = _os.path.join(out_dir, "_job.json")
             if _os.path.isfile(job_p):
                 with open(job_p) as jf:
-                    recorded = _json.load(jf).get("n_parts")
-                if recorded:
-                    n_parts = int(recorded)
+                    recorded = _json.load(jf)
+                if recorded.get("n_parts"):
+                    n_parts = int(recorded["n_parts"])
+                if recorded.get("salt_span"):
+                    salt_span = int(recorded["salt_span"])
+                if recorded.get("cluster_by"):
+                    cluster_by = recorded["cluster_by"]
+                if "order_by" in recorded:
+                    order_by = recorded["order_by"]
             elif n_parts is None:
                 raise ValueError(
                     "resume=True needs the original n_parts: no _job.json "

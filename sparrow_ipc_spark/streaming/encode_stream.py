@@ -33,8 +33,10 @@ class StreamingEncoder:
 
     def __init__(self, spark: SparkSession, out_dir: str,
                  dict_cols=DEFAULT_DICT_COLS, n_parts: int | None = None):
+        from sparrow_ipc_spark.operators.encode_job import require_local_dir
+
         self.spark = spark
-        self.out_dir = out_dir
+        self.out_dir = out_dir = require_local_dir(out_dir)
         self.dict_cols = tuple(dict_cols)
         self.n_parts = n_parts
         # dictionary_tracker state: col → ordered known values (+ set)
