@@ -208,20 +208,38 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
         # candidates instead of failing the whole encode job.
         return None
     # iterated digram passes (Re-Pair/BPE-style): pass k's digrams expand
-    # to up to 2^k source bytes, so 2 passes ≈ 4-byte symbols.  Keep a pass
-    # only if it actually shrinks the stream; lengths recorded per pass so
-    # decode can validate each inverse step exactly.
-    symtabs: list[bytes] = []
-    lens: list[int] = [len(data)]
+    # to up to 2^k source bytes, so 2 passes ≈ 4-byte symbols.  The pass
+    # depth is chosen by the size AFTER the general zstd stage — measured
+    # on the transcript corpus, pre-zstd size ANTI-correlates with final
+    # size (pass 2 shrinks the stream 18% but inflates the zstd output 5%:
+    # substitution destroys redundancy zstd exploits better), so the old
+    # keep-while-shrinking rule systematically over-deepened.  Lengths are
+    # recorded per pass so decode can validate each inverse step exactly.
+    all_tabs: list[bytes] = []
+    all_lens: list[int] = [len(data)]
+    encs: list[bytes] = [data]
     enc = data
+    best_framed = len(base.compress_buffer(data, candidates=("zstd",))[1])
+    best_k = 0
     for _ in range(MAX_PASSES):
         st = train(enc)
         nxt = compress(enc, st)
         if len(nxt) >= len(enc) * 0.98:
             break
-        symtabs.append(st)
+        all_tabs.append(st)
         enc = nxt
-        lens.append(len(enc))
+        encs.append(enc)
+        all_lens.append(len(enc))
+        framed = (len(base.compress_buffer(enc, candidates=("zstd",))[1])
+                  + sum(len(t) for t in all_tabs))
+        if framed < best_framed:
+            best_framed, best_k = framed, len(all_tabs)
+    # best_k == 0 (no pass beats plain zstd on this chunk) still emits a
+    # valid 0-pass encoding — decode is the identity on the data buffer —
+    # and the selector's argmin will prefer the raw candidate
+    symtabs = all_tabs[:best_k]
+    lens = all_lens[:best_k + 1]
+    enc = encs[best_k]
     bufs: list[tuple[str, bytes]] = []
     vb = base.validity_bytes(arr)
     if vb is not None:

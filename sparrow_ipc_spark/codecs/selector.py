@@ -260,18 +260,21 @@ def _fsst_sample_gate(arr: pa.Array) -> bool:
     sample = bufs[2].slice(0, min(len(bufs[2]), FSST_SAMPLE)).to_pybytes()
     if len(sample) < 4096:
         return True  # tiny: full trial is cheap, let argmin decide
-    # mirror the codec's multi-pass encode exactly, else the gate rejects
-    # chunks where only the second pass wins (template-heavy text)
+    # mirror the codec's multi-pass encode exactly — including its
+    # post-zstd prefix-argmin pass selection — else the gate's ranking
+    # diverges from what the full encode would actually produce
     enc, tab_bytes = sample, 0
+    best = len(base.compress_buffer(sample, candidates=("zstd",))[1])
     for _ in range(fsst_mod.MAX_PASSES):
         st = fsst_mod.train(enc)
         nxt = fsst_mod.compress(enc, st)
         if len(nxt) >= len(enc) * 0.98:
             break
         enc, tab_bytes = nxt, tab_bytes + len(st)
-    _, fsst_framed = base.compress_buffer(enc)
+        framed = len(base.compress_buffer(enc, candidates=("zstd",))[1]) + tab_bytes
+        best = min(best, framed)
     _, raw_framed = base.compress_buffer(sample)
-    return len(fsst_framed) + tab_bytes < FSST_GATE_RATIO * len(raw_framed)
+    return best < FSST_GATE_RATIO * len(raw_framed)
 
 
 FINALIST_MARGIN = 1.10

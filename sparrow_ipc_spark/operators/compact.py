@@ -25,7 +25,7 @@ from sparrow_ipc_spark.operators.encode_job import (
     manifest_from_blocks,
     payload_from_dict_rows,
 )
-from sparrow_ipc_spark.schema import MANIFEST_SCHEMA, TRANSCRIPTS_SCHEMA
+from sparrow_ipc_spark.schema import TRANSCRIPTS_SCHEMA
 
 
 def compact_blocks(
@@ -101,22 +101,32 @@ def compact_blocks(
 
     # compaction is a REWRITE: compacted part files are gone, so time travel
     # reaches back only to this new snapshot for the merged rows; untouched
-    # parts keep their original snapshot lineage
+    # parts keep their original snapshot lineage.  The manifest is rebuilt
+    # as ONE merged segment — block compaction is inherently O(table), so
+    # a full manifest rewrite costs nothing extra here (the per-batch
+    # commit path stays O(batch) append-only).
+    from sparrow_ipc_spark.sources import manifest as M
+
     try:
         prev_man = {
-            int(r["part_id"]): int(r.asDict().get("snapshot", 0) or 0)
-            for r in spark.read.parquet(f"{out_dir}/manifest").collect()
+            int(r["part_id"]): int(r.get("snapshot", 0) or 0)
+            for r in M.read_manifest_rows(out_dir)
         }
     except Exception:
         prev_man = {}
     next_snap = (max(prev_man.values()) + 1) if prev_man else 0
     written = spark.read.parquet(f"{out_dir}/blocks").drop("body")
-    man_rows = [r.asDict() for r in manifest_from_blocks(written).collect()]
+    man_rows = [r.asDict() for r in
+                manifest_from_blocks(written, with_file=True).collect()]
+    rg = M.row_group_counts(
+        [os.path.join(f"{out_dir}/blocks", f)
+         for f in os.listdir(f"{out_dir}/blocks") if f.endswith(".parquet")])
     for r in man_rows:
+        base = os.path.basename(r["file"])
+        r["file"] = base
+        r["file_row_groups"] = rg.get(base)
         r["snapshot"] = prev_man.get(int(r["part_id"]), next_snap)
-    spark.createDataFrame(man_rows, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/manifest")
+    M.rewrite_manifest(out_dir, man_rows)
     after = int(written.count())
     return {
         "before": before,

@@ -170,7 +170,8 @@ def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
         spark.read.parquet(f"{out_dir}/manifest")
         .groupBy("snapshot")
         .agg(
-            F.count("*").alias("n_parts"),
+            # manifest rows are per (part, file); a part can span files
+            F.count_distinct("part_id").alias("n_parts"),
             F.sum("n_rows").alias("n_rows"),
             F.sum("enc_bytes").alias("enc_bytes"),
             F.collect_set("part_id").alias("part_ids"),

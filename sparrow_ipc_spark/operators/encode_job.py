@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sparrow_ipc_spark.codecs.dictionary import dict_id_for
 from sparrow_ipc_spark.operators import blocks
-from sparrow_ipc_spark.schema import BLOCK_SCHEMA, DICTIONARY_SCHEMA, MANIFEST_SCHEMA
+from sparrow_ipc_spark.schema import BLOCK_SCHEMA, DICTIONARY_SCHEMA
 
 DEFAULT_DICT_COLS = ("role", "tool")
 DEFAULT_SALT_SPAN = 100_000  # turns per salt bucket within one conversation
@@ -460,9 +460,18 @@ def encode_generated(
     return base.mapInArrow(gen_encode, schema=BLOCK_SCHEMA)
 
 
-def manifest_from_blocks(blocks_df: DataFrame) -> DataFrame:
-    """Per-partition lineage + metrics (Footer analog) for resume + audit."""
-    return blocks_df.groupBy("part_id").agg(
+def manifest_from_blocks(blocks_df: DataFrame, with_file: bool = False) -> DataFrame:
+    """Per-partition lineage + metrics (Footer analog) for resume + audit.
+
+    ``with_file=True`` (for a df read back from ``blocks/`` parquet) also
+    groups by the physical file, so each manifest row records which block
+    file holds the partition — the mapping that lets the data source plan
+    reads without opening any parquet footer."""
+    keys = ["part_id"]
+    if with_file:
+        blocks_df = blocks_df.withColumn("file", F.input_file_name())
+        keys = ["part_id", "file"]
+    return blocks_df.groupBy(*keys).agg(
         F.count("*").alias("n_blocks"),
         F.sum("n_rows").alias("n_rows"),
         F.sum("raw_bytes").alias("raw_bytes"),
@@ -576,16 +585,19 @@ def write_encoded(
     prev_snapshots: dict[int, int] = {}  # part_id → snapshot that committed it
     this_snapshot = 0
     committed = _os.path.isdir(f"{out_dir}/manifest")
+    prev_committed_rows: list[dict] = []
     if (resume or append) and committed:
         # NO broad except here: a readable-manifest-but-broken-dictionaries
         # dir is corruption and must raise — swallowing it used to fall
         # back to append mode over a stale skip set and silently duplicate
         # every committed row
-        prev_rows = spark.read.parquet(f"{out_dir}/manifest").collect()
-        part_ids = {int(r["part_id"]) for r in prev_rows}
+        from sparrow_ipc_spark.sources.manifest import read_manifest_rows
+
+        prev_committed_rows = read_manifest_rows(out_dir)
+        part_ids = {int(r["part_id"]) for r in prev_committed_rows}
         prev_snapshots = {
-            int(r["part_id"]): int(r.asDict().get("snapshot", 0) or 0)
-            for r in prev_rows
+            int(r["part_id"]): int(r.get("snapshot", 0) or 0)
+            for r in prev_committed_rows
         }
         this_snapshot = (max(prev_snapshots.values()) + 1) if prev_snapshots else 0
         mode = "append"
@@ -643,20 +655,45 @@ def write_encoded(
         spark.createDataFrame(dict_rows, schema=DICTIONARY_SCHEMA).write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/dictionaries")
-    blocks_df.write.mode(mode).parquet(f"{out_dir}/blocks")
-    # ONE post-pass over the (small) written block metadata: per-partition
-    # manifest rows collected to the driver, totals derived from them, tiny
-    # manifest written back via createDataFrame — no second scan job.
-    # Each row carries the snapshot that committed its partition: parts
-    # already present keep their original snapshot, freshly-encoded parts
-    # get this write's snapshot (Iceberg-snapshot lineage → time travel).
-    written = spark.read.parquet(f"{out_dir}/blocks").drop("body")
-    man_rows = [r.asDict() for r in manifest_from_blocks(written).collect()]
-    for r in man_rows:
-        r["snapshot"] = prev_snapshots.get(int(r["part_id"]), this_snapshot)
-    spark.createDataFrame(man_rows, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/manifest")
+    from sparrow_ipc_spark.sources import manifest as M
+
+    blocks_dir = f"{out_dir}/blocks"
+    pre_files = (set(_os.listdir(blocks_dir))
+                 if mode == "append" and _os.path.isdir(blocks_dir) else set())
+    if mode == "overwrite":
+        # stale segments from a previous table at this path would mix with
+        # the fresh commit — clear them along with the old blocks
+        import shutil as _shutil
+
+        _shutil.rmtree(M.man_dir(out_dir), ignore_errors=True)
+    blocks_df.write.mode(mode).parquet(blocks_dir)
+    # O(batch) commit: manifest rows are derived from the NEWLY-written
+    # block files only and published as ONE append-only manifest segment —
+    # the committed history is never re-read or rewritten (at 10^6 parts a
+    # full-manifest rewrite per append is quadratic write amplification;
+    # the reference's Footer (E14) is write-once, and manifest segments
+    # are the multi-writer Iceberg analog of that).  Previously-committed
+    # rows keep their original snapshot by virtue of living in older
+    # segments untouched; fresh rows carry this write's snapshot.
+    new_files = sorted(
+        f for f in _os.listdir(blocks_dir)
+        if f.endswith(".parquet") and f not in pre_files
+    )
+    man_rows: list[dict] = []
+    if new_files:
+        written = spark.read.parquet(
+            *[f"{blocks_dir}/{f}" for f in new_files]).drop("body")
+        rg = M.row_group_counts([_os.path.join(blocks_dir, f) for f in new_files])
+        man_rows = [r.asDict() for r in
+                    manifest_from_blocks(written, with_file=True).collect()]
+        for r in man_rows:
+            base = _os.path.basename(r["file"])
+            r["file"] = base
+            r["file_row_groups"] = rg.get(base)
+            r["snapshot"] = this_snapshot
+        M.write_segment(out_dir, man_rows)
+        all_parts = {int(r["part_id"]) for r in man_rows} | set(prev_snapshots)
+        M.write_cursor(out_dir, this_snapshot, max(all_parts, default=-1))
     write_schema_sidecar(out_dir, df.schema)
     if not clustered:
         # resume pruning must replay pmod(hash, n_parts) with the ORIGINAL
@@ -664,11 +701,15 @@ def write_encoded(
         with open(_os.path.join(out_dir, "_job.json"), "w") as jf:
             _json.dump({"n_parts": int(n_parts), "salt_span": int(salt_span),
                         "cluster_by": cluster_by, "order_by": order_by}, jf)
+    # totals cover the WHOLE committed table: new rows + the previously
+    # committed rows (resume/append never rewrite those)
+    prev_tot = {k: sum(int(r[k]) for r in prev_committed_rows)
+                for k in ("n_blocks", "n_rows", "raw_bytes", "enc_bytes")}
     return {
-        "blocks": sum(r["n_blocks"] for r in man_rows),
-        "rows": sum(r["n_rows"] for r in man_rows),
-        "raw_bytes": sum(r["raw_bytes"] for r in man_rows),
-        "enc_bytes": sum(r["enc_bytes"] for r in man_rows),
+        "blocks": prev_tot["n_blocks"] + sum(r["n_blocks"] for r in man_rows),
+        "rows": prev_tot["n_rows"] + sum(r["n_rows"] for r in man_rows),
+        "raw_bytes": prev_tot["raw_bytes"] + sum(r["raw_bytes"] for r in man_rows),
+        "enc_bytes": prev_tot["enc_bytes"] + sum(r["enc_bytes"] for r in man_rows),
         "skipped_parts": len(skip),
         "snapshot": this_snapshot,
     }

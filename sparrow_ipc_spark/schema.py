@@ -158,6 +158,12 @@ MANIFEST_SCHEMA = T.StructType(
         # analog): monotonically increasing per write_encoded call, enables
         # time-travel decode (decode_dir(..., snapshot=K))
         T.StructField("snapshot", T.LongType(), False),
+        # physical mapping recorded at commit: which blocks/ file holds the
+        # partition, and that file's parquet row-group count — lets the
+        # data source plan row-group read spans with zero footer I/O
+        # (nullable: legacy manifests predate these)
+        T.StructField("file", T.StringType(), True),
+        T.StructField("file_row_groups", T.LongType(), True),
     ]
 )
 

@@ -87,23 +87,13 @@ def _infer_fields(path: str) -> list[tuple[str, str]]:
     raise ValueError(f"no committed blocks under {path}; cannot infer schema")
 
 
-def _read_manifest_rows(path: str) -> list[dict]:
-    """Committed manifest rows, [] when no manifest exists yet.
-
-    A crash between _publish's two renames can leave only ``manifest.old``
-    on disk — fall back to it (it holds the last fully-committed state).
-    Real read errors (corrupt footer, IO) PROPAGATE: silently treating a
-    broken manifest as empty would restart part ids at 0 and overwrite
-    committed block files."""
-    import pyarrow.parquet as pq
-
-    man_dir = os.path.join(path, "manifest")
-    if not os.path.isdir(man_dir):
-        old = man_dir + ".old"
-        if not os.path.isdir(old):
-            return []
-        man_dir = old
-    return pq.read_table(man_dir).to_pylist()
+from sparrow_ipc_spark.sources.manifest import (
+    committed_state,
+    read_cursor,
+    read_manifest_rows as _read_manifest_rows,
+    write_cursor,
+    write_segment,
+)
 
 
 def _load_dict_rows(path: str) -> list[dict]:
@@ -199,15 +189,40 @@ class SparrowIPCReader(DataSourceReader):
     # cost O(blocks²) footer work and a task-scheduling flood
     MAX_TASKS_PER_FILE = 256
 
+    def _rg_counts(self) -> list[tuple[str, int]]:
+        """[(file path, row-group count)] for every committed block file.
+
+        Fast path: the manifest records each file's row-group count at
+        commit time, so planning does ZERO footer I/O (at 100 TB / tens of
+        thousands of block files, per-file footer reads on the driver are
+        minutes of serial latency before the first task).  Fallback (no
+        manifest / legacy rows without file info / manifest-vs-disk
+        mismatch after a crash): threaded footer reads."""
+        disk = _blocks_files(self.path)
+        rows = _read_manifest_rows(self.path)
+        by_file: dict[str, int] = {}
+        ok = bool(rows)
+        for r in rows:
+            f, nrg = r.get("file"), r.get("file_row_groups")
+            if not f or not nrg:
+                ok = False
+                break
+            by_file[f] = max(by_file.get(f, 0), int(nrg))
+        if ok and set(by_file) == {os.path.basename(p) for p in disk}:
+            d = os.path.join(self.path, "blocks")
+            return [(os.path.join(d, f), n) for f, n in sorted(by_file.items())]
+        from sparrow_ipc_spark.sources.manifest import row_group_counts
+
+        d = os.path.join(self.path, "blocks")
+        counts = row_group_counts(disk)
+        return [(os.path.join(d, f), n) for f, n in sorted(counts.items())]
+
     def partitions(self) -> list[InputPartition]:
         """Partitions span contiguous row-group ranges: writers emit one
         block row per row group, so decode parallelism tracks block count —
         not writer task count — while tasks per file stay bounded."""
-        import pyarrow.parquet as pq
-
         parts: list[InputPartition] = []
-        for f in _blocks_files(self.path):
-            n_rg = pq.ParquetFile(f).metadata.num_row_groups
+        for f, n_rg in self._rg_counts():
             if n_rg == 0:
                 parts.append(_FilePartition(f, 0, 0))
                 continue
@@ -340,13 +355,46 @@ class SparrowIPCStreamReader(DataSourceStreamReader):
         self.fields = fields
 
     def initialOffset(self) -> dict:
-        return {"seen": []}
+        return {"seen": [], "snap": -1}
 
     def latestOffset(self) -> dict:
+        """Manifest-cursor offset: O(1) per trigger (one tiny JSON read),
+        NOT a directory listing — at 10^12-turn scale ``blocks/`` holds
+        ~10^6 files and an O(files) glob per micro-batch forever is a
+        driver hot loop.  The committed snapshot id is the offset; the
+        file set it denotes is resolved lazily in partitions().  Dirs
+        without a cursor/manifest (legacy) fall back to the file-set
+        offset."""
+        cur = read_cursor(self.path)
+        if cur is not None:
+            return {"snap": int(cur["snapshot"])}
+        rows = _read_manifest_rows(self.path)
+        if rows and all(r.get("file") for r in rows):
+            return {"snap": max(int(r.get("snapshot") or 0) for r in rows)}
         return {"seen": [os.path.basename(f) for f in _blocks_files(self.path)]}
 
+    def _files_at(self, snap: int) -> set[str] | None:
+        """Block-file basenames committed at snapshot <= snap; None when
+        the manifest cannot resolve files (legacy rows)."""
+        out: set[str] = set()
+        for r in _read_manifest_rows(self.path):
+            if int(r.get("snapshot") or 0) <= snap:
+                f = r.get("file")
+                if not f:
+                    return None
+                out.add(f)
+        return out
+
+    def _offset_files(self, off: dict) -> set[str]:
+        snap = int(off.get("snap", -1))
+        if snap >= 0:
+            files = self._files_at(snap)
+            if files is not None:
+                return files
+        return set(off.get("seen", []))
+
     def partitions(self, start: dict, end: dict):
-        new = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        new = sorted(self._offset_files(end) - self._offset_files(start))
         if not new:
             return []
         # dictionary snapshot rides in the partition: delta rows appended
@@ -439,46 +487,25 @@ def _encode_to_staged(batches, part_id: int, attempt: int,
     )
 
 
-_MANIFEST_PA_SCHEMA = None
-
-
-def _manifest_schema():
-    import pyarrow as pa
-
-    global _MANIFEST_PA_SCHEMA
-    if _MANIFEST_PA_SCHEMA is None:
-        _MANIFEST_PA_SCHEMA = pa.schema(
-            [
-                ("part_id", pa.int32()), ("n_blocks", pa.int64()),
-                ("n_rows", pa.int64()), ("raw_bytes", pa.int64()),
-                ("enc_bytes", pa.int64()), ("codec_summary", pa.string()),
-                ("status", pa.string()), ("snapshot", pa.int64()),
-            ]
-        )
-    return _MANIFEST_PA_SCHEMA
-
-
 def _publish(path: str, staging: str, messages, overwrite: bool,
-             prev_snapshots: dict[int, int], marker: str | None = None,
+             marker: str | None = None,
              schema_json: str | None = None,
              batch_tag: str | None = None) -> None:
-    """Move staged files into blocks/, append (or rewrite) the manifest
-    from the commit messages, seed an empty dictionaries table.
+    """Move staged files into blocks/, append ONE manifest segment built
+    from the commit messages (O(batch) — the committed history is never
+    rewritten), seed an empty dictionaries table.
 
-    Stream commits (``marker`` + ``batch_tag``): the batch marker file is
-    written INTO the new manifest directory before its atomic rename, so
-    manifest and marker commit together; and staged files publish under
-    DETERMINISTIC batch-scoped names (``{batch_tag}-{i}.parquet``), so a
-    replay of a crashed half-published commit overwrites the same file
-    names instead of adding duplicates — replay is idempotent.  A crash
-    mid-publish can expose a partial batch to readers until the restarted
-    query replays it to completion; it can never duplicate rows.  Parquet
-    dataset discovery (pyarrow and Spark both) ignores ``_``-prefixed
-    files."""
+    Stream commits (``marker`` + ``batch_tag``): staged files publish
+    under DETERMINISTIC batch-scoped names (``{batch_tag}-{i}.parquet``)
+    and the manifest segment under a DETERMINISTIC batch-scoped name, so
+    a replay of a crashed half-published commit overwrites the same block
+    files and the same segment instead of adding duplicates — replay is
+    idempotent; the ``_batch_<id>`` marker (written after the segment)
+    records completion.  A crash mid-publish can expose a partial batch
+    to readers until the restarted query replays it to completion; it can
+    never duplicate rows.  Parquet dataset discovery (pyarrow and Spark
+    both) ignores ``_``-prefixed files."""
     import shutil
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     blocks_dir = os.path.join(path, "blocks")
     if overwrite:
@@ -502,40 +529,28 @@ def _publish(path: str, staging: str, messages, overwrite: bool,
         # only files from SUCCESSFUL task attempts publish
         os.replace(os.path.join(staging, m.file), os.path.join(blocks_dir, name))
     shutil.rmtree(staging, ignore_errors=True)
-    snap = (max(prev_snapshots.values()) + 1) if prev_snapshots else 0
+    prev_snap, prev_max_part = (-1, -1) if overwrite else committed_state(path)
+    snap = prev_snap + 1
     man_rows = [
         {
             "part_id": m.part_id, "n_blocks": m.n_blocks, "n_rows": m.n_rows,
             "raw_bytes": m.raw_bytes, "enc_bytes": m.enc_bytes,
             "codec_summary": m.codec_summary, "status": "committed",
-            "snapshot": snap,
+            "snapshot": snap, "file": name,
+            # _encode_to_staged writes row_group_size=1: one block row per
+            # row group, so the file's row-group count IS its block count —
+            # recorded here so read planning never opens a footer
+            "file_row_groups": m.n_blocks,
         }
-        for m in messages
+        for m, name in zip(messages, names)
     ]
-    man_dir = os.path.join(path, "manifest")
-    prev = []
-    if not overwrite and os.path.isdir(man_dir):
-        prev = pq.read_table(man_dir).to_pylist()
-        for r in prev:
-            r.setdefault("snapshot", 0)
-    tmp = man_dir + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    pq.write_table(pa.Table.from_pylist(prev + man_rows, schema=_manifest_schema()),
-                   os.path.join(tmp, "manifest.parquet"))
-    if os.path.isdir(man_dir):  # carry committed-batch markers forward
-        for f in os.listdir(man_dir):
-            if f.startswith("_batch_"):
-                shutil.copy2(os.path.join(man_dir, f), os.path.join(tmp, f))
+    seg_name = f"seg-{batch_tag}.parquet" if batch_tag is not None else None
+    write_segment(path, man_rows, seg_name)
     if marker is not None:
-        with open(os.path.join(tmp, marker), "w") as mf:
+        with open(os.path.join(path, "manifest", marker), "w") as mf:
             mf.write("committed")
-    old = man_dir + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.isdir(man_dir):
-        os.rename(man_dir, old)
-    os.rename(tmp, man_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    new_max = max([m.part_id for m in messages], default=-1)
+    write_cursor(path, snap, max(prev_max_part, new_max))
     if schema_json is not None:
         # full Spark schema incl. per-field custom metadata (Schema-message
         # analog; reference src/metadata.cpp:7-23) — readable by
@@ -545,6 +560,7 @@ def _publish(path: str, staging: str, messages, overwrite: bool,
     dict_dir = os.path.join(path, "dictionaries")
     if not os.path.isdir(dict_dir):  # dict_local-only writes: empty table
         import pyarrow as pa2
+        import pyarrow.parquet as pq
 
         os.makedirs(dict_dir, exist_ok=True)
         dict_schema = pa2.schema(
@@ -582,16 +598,12 @@ class SparrowIPCWriter(DataSourceArrowWriter):
         self.batch_rows = int(options.get("batch_rows", 65536))
         self.staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:12]}")
         self.part_offset = 0
-        self.prev_snapshots: dict[int, int] = {}
         if not overwrite:
-            # real manifest corruption raises (silently restarting part ids
-            # at 0 would overwrite committed block files)
-            man = _read_manifest_rows(self.path)
-            self.prev_snapshots = {
-                int(r["part_id"]): int(r.get("snapshot", 0) or 0) for r in man
-            }
-            if self.prev_snapshots:
-                self.part_offset = max(self.prev_snapshots) + 1
+            # cursor fast path (O(1)); full manifest read fallback — real
+            # manifest corruption raises (silently restarting part ids at
+            # 0 would overwrite committed block files)
+            _, max_part = committed_state(self.path)
+            self.part_offset = max_part + 1
 
     def write(self, batches) -> _WriteMessage:
         from pyspark import TaskContext
@@ -604,7 +616,7 @@ class SparrowIPCWriter(DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         _publish(self.path, self.staging, list(messages), self.overwrite,
-                 self.prev_snapshots, schema_json=self.schema_json)
+                 schema_json=self.schema_json)
 
     def abort(self, messages) -> None:
         import shutil
@@ -640,9 +652,8 @@ class SparrowIPCStreamWriter(DataSourceStreamArrowWriter):
         # committed manifest (the batch append path's scheme) makes ids
         # unique across restarts.
         self.part_offset = 0
-        man = _read_manifest_rows(self.path)  # corruption raises, see helper
-        if man:
-            self.part_offset = max(int(r["part_id"]) for r in man) + 1
+        _, max_part = committed_state(self.path)  # corruption raises
+        self.part_offset = max_part + 1
         # deterministic staging dir: executor-side writer copies can outlive
         # one query run (reused Python workers), so a per-instance uuid can
         # diverge between the staging tasks and the committing driver;
@@ -670,9 +681,7 @@ class SparrowIPCStreamWriter(DataSourceStreamArrowWriter):
             shutil.rmtree(self.staging, ignore_errors=True)  # replayed batch
             return
         msgs = [m for m in messages if m is not None]
-        man = _read_manifest_rows(self.path)
-        prev = {int(r["part_id"]): int(r.get("snapshot", 0) or 0) for r in man}
-        _publish(self.path, self.staging, msgs, overwrite=False, prev_snapshots=prev,
+        _publish(self.path, self.staging, msgs, overwrite=False,
                  marker=f"_batch_{batchId}", schema_json=self.schema_json,
                  batch_tag=f"batch-{batchId:08d}")
 

@@ -1,0 +1,222 @@
+"""Round-4 manifest plane: append-only segments, O(batch) commits,
+zero-footer read planning, cursor-based streaming offsets, migration.
+
+The reference writes ONE footer per file at close
+(/root/reference/src/stream_file_serializer.cpp:34-129); a multi-writer
+10^12-turn table needs the Iceberg-style append-only manifest log these
+tests pin down.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from sparrow_ipc_spark.sources import manifest as M
+from sparrow_ipc_spark.sources.datasource import (
+    SparrowIPCDataSource,
+    SparrowIPCReader,
+    SparrowIPCStreamReader,
+    _blocks_files,
+    _infer_fields,
+)
+
+
+@pytest.fixture(scope="module")
+def ds_dir(spark, tmp_path_factory):
+    """A directory written through the Spark DataSource writer in three
+    commits (overwrite + two appends)."""
+    out = str(tmp_path_factory.mktemp("seg") / "enc")
+    spark.dataSource.register(SparrowIPCDataSource)
+    ev = spark.range(0, 3000).selectExpr(
+        "cast(id as string) as conv_id", "cast(id % 7 as int) as turn_idx",
+        "concat('txt-', id) as text")
+    ev.repartition(3).write.format("sparrow_ipc").mode("overwrite").save(out)
+    ev.repartition(2).write.format("sparrow_ipc").mode("append").save(out)
+    ev.repartition(2).write.format("sparrow_ipc").mode("append").save(out)
+    return out
+
+
+def _segments(out: str) -> list[str]:
+    d = os.path.join(out, "manifest")
+    return sorted(f for f in os.listdir(d)
+                  if f.startswith("seg-") and f.endswith(".parquet"))
+
+
+def test_commit_appends_one_segment_per_write(ds_dir):
+    assert len(_segments(ds_dir)) == 3
+
+
+def test_commit_does_not_rewrite_prior_segments(spark, tmp_path):
+    """O(batch) commit: an append must leave every previously-committed
+    segment file byte-untouched (same inode, mtime, size) — the committed
+    history is never rewritten, however many parts the table holds."""
+    out = str(tmp_path / "enc")
+    ev = spark.range(0, 500).selectExpr("cast(id as string) as conv_id",
+                                        "concat('t', id) as text")
+    ev.repartition(2).write.format("sparrow_ipc").mode("overwrite").save(out)
+    before = {f: os.stat(os.path.join(out, "manifest", f))
+              for f in _segments(out)}
+    ev.repartition(2).write.format("sparrow_ipc").mode("append").save(out)
+    for f, st in before.items():
+        now = os.stat(os.path.join(out, "manifest", f))
+        assert (now.st_ino, now.st_mtime_ns, now.st_size) == \
+            (st.st_ino, st.st_mtime_ns, st.st_size)
+
+
+def test_partitions_plan_without_footer_reads(ds_dir, monkeypatch):
+    """The committed manifest records (file, file_row_groups), so read
+    planning opens ZERO parquet footers — at 10^4+ block files per table
+    that is the difference between instant planning and minutes of serial
+    driver I/O."""
+    import pyarrow.parquet as pq
+
+    fields = _infer_fields(ds_dir)
+
+    def boom(*a, **k):  # any footer open during planning = regression
+        raise AssertionError("partitions() opened a parquet footer")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    r = SparrowIPCReader({"path": ds_dir}, fields)
+    parts = r.partitions()
+    assert parts
+    planned = {os.path.basename(p.file) for p in parts}
+    assert planned == {os.path.basename(f) for f in _blocks_files(ds_dir)}
+    # spans cover every row group exactly once per file
+    spans: dict[str, list[tuple[int, int]]] = {}
+    for p in parts:
+        spans.setdefault(p.file, []).append((p.rg_start, p.rg_end))
+    for f, ss in spans.items():
+        ss.sort()
+        assert ss[0][0] == 0
+        for (s0, e0), (s1, e1) in zip(ss, ss[1:]):
+            assert e0 == s1
+
+
+def test_partitions_footer_fallback_when_manifest_missing(ds_dir, tmp_path):
+    """A manifest-less (or crash-inconsistent) dir still plans correctly
+    via threaded footer reads."""
+    import shutil
+
+    out = str(tmp_path / "copy")
+    shutil.copytree(ds_dir, out)
+    shutil.rmtree(os.path.join(out, "manifest"))
+    fields = _infer_fields(out)
+    parts = SparrowIPCReader({"path": out}, fields).partitions()
+    assert {os.path.basename(p.file) for p in parts} == \
+        {os.path.basename(f) for f in _blocks_files(out)}
+
+
+def test_write_encoded_records_file_mapping(spark, tmp_path):
+    """write_encoded commits also record the physical file mapping, so
+    DS reads of job-written dirs plan footer-free too."""
+    from sparrow_ipc_spark.operators.encode_job import write_encoded
+    from sparrow_ipc_spark.sources.transcripts import transcripts_df
+
+    out = str(tmp_path / "enc")
+    df = transcripts_df(spark, n_convs=60, seed=3)
+    write_encoded(spark, df, out, n_parts=4)
+    rows = M.read_manifest_rows(out)
+    assert rows and all(r["file"] and r["file_row_groups"] for r in rows)
+    disk = {os.path.basename(f) for f in _blocks_files(out)}
+    assert {r["file"] for r in rows} == disk
+
+
+def test_cursor_o1_latest_offset(ds_dir, monkeypatch):
+    """latestOffset reads the O(1) cursor — never lists blocks/ (10^6
+    files at scale) and never reads a segment."""
+    cur = M.read_cursor(ds_dir)
+    assert cur == {"snapshot": 2, "max_part_id": cur["max_part_id"]}
+    fields = _infer_fields(ds_dir)
+
+    import sparrow_ipc_spark.sources.datasource as D
+
+    def boom(*a, **k):
+        raise AssertionError("latestOffset touched the filesystem beyond the cursor")
+
+    monkeypatch.setattr(D, "_blocks_files", boom)
+    monkeypatch.setattr(D, "_read_manifest_rows", boom)
+    r = SparrowIPCStreamReader({"path": ds_dir}, fields)
+    assert r.latestOffset() == {"snap": 2}
+
+
+def test_stream_offsets_resolve_incremental_files(ds_dir):
+    r = SparrowIPCStreamReader({"path": ds_dir}, _infer_fields(ds_dir))
+    all_files = {os.path.basename(f) for f in _blocks_files(ds_dir)}
+    f0 = r._offset_files({"snap": 0})
+    f2 = r._offset_files({"snap": 2})
+    assert f0 < f2 == all_files
+    assert r._offset_files(r.initialOffset()) == set()
+    parts = r.partitions({"snap": 0}, {"snap": 2})
+    assert {os.path.basename(p.file) for p in parts} == f2 - f0
+
+
+def test_segment_merge_bounds_file_count(tmp_path):
+    out = str(tmp_path / "t")
+    for i in range(M.SEGMENT_LIMIT + 8):
+        M.write_segment(out, [{
+            "part_id": i, "n_blocks": 1, "n_rows": 10, "raw_bytes": 100,
+            "enc_bytes": 50, "codec_summary": "[]", "status": "committed",
+            "snapshot": i, "file": f"f{i}.parquet", "file_row_groups": 1,
+        }])
+    d = os.path.join(out, "manifest")
+    segs = [f for f in os.listdir(d) if f.startswith("seg-")]
+    assert len(segs) <= M.SEGMENT_LIMIT + 1
+    rows = M.read_manifest_rows(out)
+    assert {int(r["part_id"]) for r in rows} == set(range(M.SEGMENT_LIMIT + 8))
+
+
+def test_legacy_manifest_migration(tmp_path):
+    """A pre-segment manifest (single manifest.parquet, no file column) is
+    migrated on first append; old rows survive with file=None."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "t")
+    d = os.path.join(out, "manifest")
+    os.makedirs(d)
+    legacy = pa.Table.from_pylist([{
+        "part_id": 0, "n_blocks": 2, "n_rows": 20, "raw_bytes": 200,
+        "enc_bytes": 90, "codec_summary": "[]", "status": "committed",
+    }])
+    pq.write_table(legacy, os.path.join(d, "manifest.parquet"))
+    M.write_segment(out, [{
+        "part_id": 1, "n_blocks": 1, "n_rows": 10, "raw_bytes": 100,
+        "enc_bytes": 50, "codec_summary": "[]", "status": "committed",
+        "snapshot": 1, "file": "f1.parquet", "file_row_groups": 1,
+    }])
+    assert not os.path.exists(os.path.join(d, "manifest.parquet"))
+    rows = {int(r["part_id"]): r for r in M.read_manifest_rows(out)}
+    assert rows[0]["file"] is None and rows[0]["snapshot"] == 0
+    assert rows[1]["file"] == "f1.parquet"
+
+
+def test_crash_duplicate_segment_rows_dedupe(tmp_path):
+    """A crash between segment-merge and old-segment deletion can leave
+    the same (part_id, file) row twice; readers keep the highest-snapshot
+    copy."""
+    out = str(tmp_path / "t")
+    row = {"part_id": 0, "n_blocks": 1, "n_rows": 10, "raw_bytes": 100,
+           "enc_bytes": 50, "codec_summary": "[]", "status": "committed",
+           "snapshot": 0, "file": "f.parquet", "file_row_groups": 1}
+    M.write_segment(out, [dict(row)])
+    M.write_segment(out, [dict(row, snapshot=1)])
+    rows = M.read_manifest_rows(out)
+    assert len(rows) == 1 and int(rows[0]["snapshot"]) == 1
+
+
+def test_cursor_recovery_from_full_read(ds_dir, tmp_path):
+    """Missing/corrupt cursor degrades to a full segment read with the
+    same answer."""
+    import shutil
+
+    out = str(tmp_path / "copy")
+    shutil.copytree(ds_dir, out)
+    snap_fast, part_fast = M.committed_state(out)
+    os.remove(os.path.join(out, "manifest", "_cursor.json"))
+    assert M.committed_state(out) == (snap_fast, part_fast)
+    with open(os.path.join(out, "manifest", "_cursor.json"), "w") as f:
+        f.write("{not json")
+    assert M.committed_state(out) == (snap_fast, part_fast)
