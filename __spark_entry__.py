@@ -707,7 +707,84 @@ def _fn_query(fn) -> Callable[[SparkSession, str], DataFrame]:
 # Engine-native (non-SQL-expressible) queries — rows-only checks
 # ---------------------------------------------------------------------------
 
+# hex8(md5(key)): first 8 md5 hex chars as a number, built from the same
+# instr/strpos hex-digit idiom the simhash oracles use — gives both
+# dialects an identical per-row content fingerprint whose SUM detects any
+# value corruption through the encode→decode path
+_HEXS = "'0123456789abcdef'"
+
+
+def _hex8_expr(key_expr: str, dialect: str) -> str:
+    pos = (lambda c: f"instr({_HEXS}, {c})") if dialect == "spark" else (
+        lambda c: f"strpos({_HEXS}, {c})")
+    terms = " + ".join(
+        f"CAST({pos(f'substr(md5({key_expr}), {k}, 1)')} AS BIGINT) * {16 ** (8 - k)}"
+        for k in range(1, 9)
+    )
+    return f"({terms})"
+
+
+def _rt_aggregates_sql(src: str, dialect: str) -> str:
+    """Roundtrip-proof aggregates over a transcript relation: row counts,
+    byte totals, ts extremes, and a summed per-row md5 fingerprint over
+    every column — any decode corruption (values, nulls, ordering keys)
+    moves at least one aggregate."""
+    cast_str = "STRING" if dialect == "spark" else "VARCHAR"
+    ts_us = ("unix_micros(cast(ts as timestamp))" if dialect == "spark"
+             else "epoch_us(ts)")
+    blen = "octet_length(text)" if dialect == "spark" else "strlen(text)"
+    key = (f"concat(conv_id, '|', CAST(turn_idx AS {cast_str}), '|', "
+           f"coalesce(role, ''), '|', coalesce(text, ''), '|', "
+           f"coalesce(tool, ''), '|', CAST({ts_us} AS {cast_str}))")
+    fp = _hex8_expr(key, dialect)
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(SUM({blen}) AS BIGINT) AS text_bytes,
+       CAST(SUM(turn_idx) AS BIGINT) AS sum_turn_idx,
+       MIN({ts_us}) AS min_ts_us,
+       MAX({ts_us}) AS max_ts_us,
+       CAST(SUM({fp}) AS BIGINT) AS row_fingerprint
+FROM {src}
+"""
+
+
+_DERIVE_TRANSCRIPTS_DUCK = """
+SELECT printf('conv_%06d', user_id)                                   AS conv_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT)
+                                                                      AS turn_idx,
+       list_extract(['user','assistant','system','tool'],
+                    CAST(event_id % 4 AS INT) + 1)                    AS role,
+       concat(event_type, ' ', coalesce(props, ''))                   AS text,
+       CASE WHEN event_id % 3 = 0 THEN event_type END                 AS tool,
+       ts
+FROM events
+"""
+
+
 def _codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path — derive transcripts, distributed encode, decode —
+    then roundtrip-proof aggregates.  The DuckDB oracle computes the SAME
+    aggregates straight from the derived-transcripts SQL, so any
+    encode/decode corruption anywhere in the codec stack breaks the hash
+    match (closes the round-3 no-oracle row)."""
+    from sparrow_ipc_spark.operators.decode_job import decode_blocks
+    from sparrow_ipc_spark.operators.encode_job import encode_transcripts
+
+    df = derived_transcripts(spark, sf_dir)
+    blocks_df, dict_rows, _ = encode_transcripts(spark, df, n_parts=8)
+    dec = decode_blocks(spark, blocks_df, dict_rows)
+    dec.createOrReplaceTempView("_decoded_transcripts")
+    return spark.sql(_rt_aggregates_sql("_decoded_transcripts", "spark"))
+
+
+_SQL["codec_roundtrip"] = (
+    _rt_aggregates_sql(f"({_DERIVE_TRANSCRIPTS})", "spark"),
+    _rt_aggregates_sql(f"({_DERIVE_TRANSCRIPTS_DUCK})", "duckdb"),
+)
+
+
+def _codec_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: encode derived transcripts, decode, verify bit-identity."""
     import pyspark.sql.types as T
 
@@ -745,7 +822,12 @@ def _codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _codec_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column codec choices + bytes over the derived transcript table."""
+    """Per-column codec choices + block counts over the derived transcript
+    table.  Selection is a PURE function of chunk content (required for
+    Spark task-retry determinism), so the expected mix at the driver's
+    sf0.01 gate is a fixed literal table — the oracle below (verified
+    stable across repeated runs; regenerate it with
+    ``python tools/gen_selection_oracle.py`` after any cost-model change)."""
     from sparrow_ipc_spark.operators.encode_job import encode_transcripts
 
     df = derived_transcripts(spark, sf_dir)
@@ -755,6 +837,20 @@ def _codec_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c.name").alias("col_name"), F.col("c.codec").alias("codec"))
         .agg(F.count("*").alias("n_blocks"))
     )
+
+
+# expected codec mix at sf0.01 (8 salted parts, 1 block each; every column
+# picks one codec consistently on this corpus): conv_id sorted runs → RLE,
+# role/tool low-cardinality → global dict, free text → raw(+zstd),
+# turn_idx/ts monotone-per-conversation → FoR bit-pack
+_SQL["codec_selection"] = ("", """
+SELECT CAST(col_name AS VARCHAR) AS col_name, CAST(codec AS VARCHAR) AS codec,
+       CAST(n_blocks AS BIGINT) AS n_blocks
+FROM (VALUES
+  ('conv_id', 'rle', 8), ('role', 'dict', 8), ('text', 'raw', 8),
+  ('tool', 'dict', 8), ('ts', 'for_bitpack', 8), ('turn_idx', 'for_bitpack', 8)
+) AS t(col_name, codec, n_blocks)
+""")
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> tuple[list[float], int]:
@@ -904,9 +1000,52 @@ def _ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode (vendored stdlib codec) through the distributed
+    mapInPandas path; floats quantized by floor(x * 10^5) so both sides
+    compare exact integers (same double → same floor; no rounding-mode
+    divergence)."""
     from sparrow_ipc_spark.functions.multimodal import image_features, synthetic_media
 
-    return image_features(synthetic_media(spark, n=96))
+    feats = image_features(synthetic_media(spark, n=96), use_real_decode=True)
+    return feats.select(
+        "media_id", "width", "height",
+        F.floor(F.col("mean_luma").cast("double") * 100000).cast("long").alias("mean_luma_q"),
+        F.floor(F.col("byte_entropy").cast("double") * 100000).cast("long").alias("byte_entropy_q"),
+    )
+
+
+def _image_features_oracle_sql(n: int = 96) -> str:
+    """Literal oracle built by replaying the deterministic media generator
+    + the SAME vendored PNG decode driver-side with NO Spark — verifies
+    the distributed mapInPandas path (filtering, batching, schema, decode)
+    against an independent single-process computation."""
+    import math
+
+    from sparrow_ipc_spark.functions import png
+    from sparrow_ipc_spark.functions.multimodal import _entropy, synthetic_media_rows
+
+    import numpy as _np
+
+    vals = []
+    for mid, kind, _mime, _w, _h, _dur, payload in synthetic_media_rows(n):
+        if kind != "image":
+            continue
+        img = png.luma(png.decode_png(bytes(payload)))
+        ml = float(_np.float32(img.mean()))
+        be = float(_np.float32(_entropy(img)))
+        vals.append(
+            f"({mid}, {img.shape[1]}, {img.shape[0]}, "
+            f"{math.floor(ml * 100000)}, {math.floor(be * 100000)})")
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, CAST(width AS INT) AS width, "
+        "CAST(height AS INT) AS height, CAST(mean_luma_q AS BIGINT) AS mean_luma_q, "
+        "CAST(byte_entropy_q AS BIGINT) AS byte_entropy_q FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(media_id, width, height, mean_luma_q, byte_entropy_q)"
+    )
+
+
+_SQL["image_features"] = ("", _image_features_oracle_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -915,7 +1054,7 @@ def _image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _codec_roundtrip(spark, "/root/testdata/sf0.001")
+    return _codec_roundtrip_report(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -2,19 +2,14 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schemas, partition-preserving UDF signatures,
-batch shapes, deterministic fake decoders for tests — is real; the actual
-media decode is stubbed behind ``NotImplementedError`` because no media
-libraries exist in this container (and none may be installed).  Swapping
-``_decode_image_real`` for a PIL/ffmpeg call is the only change needed
-in production.
-
-Install blocker (documented per round-2 review): ``pip install Pillow``
-is disallowed in this sandbox (environment contract: no pip/apt installs;
-``import PIL`` raises ModuleNotFoundError), so ``_decode_image_real`` is
-exercised only to the NotImplementedError guard; the full pipeline runs
-on the deterministic fake decoder.  Real decode stays explicitly opt-in
-(``use_real_decode=True``) even when PIL is importable, because synthetic
-test payloads are random bytes, not decodable images.
+batch shapes, deterministic decoders for tests — is real.  Image decode
+is ALSO real for PNG payloads: a vendored stdlib-zlib+numpy PNG decoder
+(:mod:`sparrow_ipc_spark.functions.png`, public PNG spec) backs
+``_decode_image_real`` where PIL is absent (PIL remains uninstallable in
+this sandbox — no network route; when importable it takes precedence and
+handles every format).  Non-PNG formats without PIL still raise
+``NotImplementedError`` loudly.  Audio/video decode remains a
+deterministic stand-in (no stdlib-expressible codec).
 """
 
 from __future__ import annotations
@@ -56,14 +51,21 @@ except ImportError:
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Real decode hook: used automatically when PIL is importable;
-    otherwise callers must stay on the deterministic fake decoder."""
-    if _PIL_Image is None:
-        raise NotImplementedError("media decode requires PIL/libvips (not in sandbox)")
-    import io
+    """Real decode → grayscale (h, w) uint8.  PIL when importable (any
+    format); vendored PNG decoder otherwise; loud error for non-PNG
+    without PIL."""
+    if _PIL_Image is not None:
+        import io
 
-    img = _PIL_Image.open(io.BytesIO(payload)).convert("L")  # pragma: no cover
-    return np.asarray(img, dtype=np.uint8)  # pragma: no cover
+        img = _PIL_Image.open(io.BytesIO(payload)).convert("L")  # pragma: no cover
+        return np.asarray(img, dtype=np.uint8)  # pragma: no cover
+    from sparrow_ipc_spark.functions import png
+
+    if png.is_png(payload):
+        return png.luma(png.decode_png(payload))
+    raise NotImplementedError(
+        "non-PNG media decode requires PIL/libvips (not installable in this "
+        "sandbox); PNG decodes via the vendored stdlib codec")
 
 
 def _decode_image_fake(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -209,15 +211,43 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return df.where(df["kind"] == "video").mapInPandas(fs, schema=out_schema)
 
 
-def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic media table for tests (no external data)."""
+def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
+    """Pure-numpy deterministic media rows (no Spark) — shared by the
+    Spark table builder and the driver-side oracle replay."""
+    from sparrow_ipc_spark.functions import png
+
     rng = np.random.default_rng([seed, 777])
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        w, h = (int(rng.integers(4, 64)), int(rng.integers(4, 64))) if kind == "image" else (None, None)
-        dur = int(rng.integers(500, 5000)) if kind != "image" else None
-        payload = rng.bytes(int(rng.integers(64, 512)))
-        rows.append((i, kind, f"x/{kind}", w, h, dur, bytearray(payload)))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+        if kind == "image":
+            w, h = int(rng.integers(4, 64)), int(rng.integers(4, 64))
+            dur = None
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = ((yy * 3 + xx * 5) % 251).astype(np.uint8)
+            noise = rng.integers(0, 17, size=(h, w), dtype=np.uint8)
+            gray = ((base.astype(np.uint16) + noise) % 256).astype(np.uint8)
+            if i % 2:
+                img = np.stack([gray, gray[::-1, :], gray[:, ::-1]], axis=-1)
+            else:
+                img = gray
+            payload = png.encode_png(img)
+            mime = "image/png"
+        else:
+            w = h = None
+            dur = int(rng.integers(500, 5000))
+            payload = rng.bytes(int(rng.integers(64, 512)))
+            mime = f"x/{kind}"
+        rows.append((i, kind, mime, w, h, dur, bytearray(payload)))
+    return rows
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic media table for tests (no external data).
+
+    Image rows carry REAL PNG payloads (vendored encoder; alternating
+    grayscale/RGB gradients + seeded noise) so the real decode path is
+    exercised end-to-end; audio/video payloads stay opaque bytes for the
+    stand-in decoders."""
+    return spark.createDataFrame(synthetic_media_rows(n, seed), schema=MEDIA_SCHEMA)

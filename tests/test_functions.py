@@ -182,9 +182,16 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.sample_frames(media, every_ms=1000)
     fr = frames.collect()
     assert all(len(r["frame"]) == 64 for r in fr)
-    # real decode path is stubbed: must raise loudly, not silently fake
+    # real decode path: PNG payloads decode via the vendored codec
+    # (tests/test_png.py covers it in depth); a non-PNG payload without
+    # PIL must raise loudly, not silently fake
+    real = multimodal.image_features(media, use_real_decode=True).collect()
+    assert len(real) == 10
+    junk = spark.createDataFrame(
+        [(999, "image", "image/jpeg", 4, 4, None, bytearray(b"\xff\xd8junk"))],
+        schema=multimodal.MEDIA_SCHEMA)
     with pytest.raises(Exception):
-        multimodal.image_features(media, use_real_decode=True).collect()
+        multimodal.image_features(junk, use_real_decode=True).collect()
     audio = multimodal.audio_features(media).collect()
     assert len(audio) == 10  # every 3rd row is audio
     assert all(

@@ -11,6 +11,9 @@ import pytest
 import __spark_entry__ as entry_mod
 
 SF_DIR = "/root/testdata/sf0.001"
+# literal-table oracles encode the expected answer at the driver's gate
+# scale (sf0.01); run those queries there
+PER_QUERY_SF = {"codec_selection": "/root/testdata/sf0.01"}
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
@@ -31,7 +34,7 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
 def test_query_matches_oracle(spark, duck, name):
-    spark_df = entry_mod.queries()[name](spark, SF_DIR)
+    spark_df = entry_mod.queries()[name](spark, PER_QUERY_SF.get(name, SF_DIR))
     got = canon(spark_df.toPandas())
     want = canon(duck.execute(entry_mod.oracle_sql()[name]).df())
     assert list(got.columns) == list(want.columns), (got.columns, want.columns)
