@@ -1045,7 +1045,10 @@ def _image_features_oracle_sql(n: int = 96) -> str:
     )
 
 
-_SQL["image_features"] = ("", _image_features_oracle_sql())
+# stored as a CALLABLE, resolved lazily by oracle_sql(): building the
+# literal replays 32 PNG encode+decodes, which must not tax (or be able to
+# break) every unrelated import of this module
+_SQL["image_features"] = ("", _image_features_oracle_sql)
 
 
 # ---------------------------------------------------------------------------
@@ -1102,4 +1105,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: pair[1] for name, pair in _SQL.items()}
+    return {name: (pair[1]() if callable(pair[1]) else pair[1])
+            for name, pair in _SQL.items()}

@@ -185,6 +185,26 @@ def applicable(t: pa.DataType) -> bool:
 
 
 MAX_PASSES = 2
+_PROBE_FULL = 1 << 20  # full-accuracy zstd probe up to 1 MiB
+_PROBE_SLICE = 32 * 1024
+
+
+def _zstd_probe(payload: bytes) -> int:
+    """Post-entropy size estimate for the pass-depth argmin: exact zstd
+    size up to 1 MiB, else a stratified 4x32 KiB sample estimate (the
+    selector's probe discipline) — the probe must not cost more than the
+    compression it is pricing.  Pure function of content → deterministic
+    pass selection across task retries."""
+    n = len(payload)
+    if n <= _PROBE_FULL:
+        return len(base.compress_buffer(payload, candidates=("zstd",))[1])
+    mv = memoryview(payload)
+    sample = b"".join(
+        bytes(mv[off:off + _PROBE_SLICE])
+        for off in (0, n // 4, n // 2, max(0, n - _PROBE_SLICE))
+    )
+    comp = base._PA_CODECS["zstd"].compress(sample, asbytes=True)
+    return int(len(comp) * (n / len(sample))) + 8
 
 
 def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
@@ -217,10 +237,12 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
     # recorded per pass so decode can validate each inverse step exactly.
     all_tabs: list[bytes] = []
     all_lens: list[int] = [len(data)]
-    encs: list[bytes] = [data]
     enc = data
-    best_framed = len(base.compress_buffer(data, candidates=("zstd",))[1])
+    best_framed = _zstd_probe(data)
     best_k = 0
+    # only the (current, best) buffers stay live — never the whole pass
+    # chain (a near-2 GiB chunk must not hold 3 concurrent copies)
+    best_enc = data
     for _ in range(MAX_PASSES):
         st = train(enc)
         nxt = compress(enc, st)
@@ -228,18 +250,16 @@ def encode(arr: pa.Array, ctx: dict) -> base.EncodedColumn | None:
             break
         all_tabs.append(st)
         enc = nxt
-        encs.append(enc)
         all_lens.append(len(enc))
-        framed = (len(base.compress_buffer(enc, candidates=("zstd",))[1])
-                  + sum(len(t) for t in all_tabs))
+        framed = _zstd_probe(enc) + sum(len(t) for t in all_tabs)
         if framed < best_framed:
-            best_framed, best_k = framed, len(all_tabs)
+            best_framed, best_k, best_enc = framed, len(all_tabs), enc
     # best_k == 0 (no pass beats plain zstd on this chunk) still emits a
     # valid 0-pass encoding — decode is the identity on the data buffer —
     # and the selector's argmin will prefer the raw candidate
     symtabs = all_tabs[:best_k]
     lens = all_lens[:best_k + 1]
-    enc = encs[best_k]
+    enc = best_enc
     bufs: list[tuple[str, bytes]] = []
     vb = base.validity_bytes(arr)
     if vb is not None:

@@ -51,18 +51,23 @@ except ImportError:
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Real decode → grayscale (h, w) uint8.  PIL when importable (any
-    format); vendored PNG decoder otherwise; loud error for non-PNG
-    without PIL."""
+    """Real decode → grayscale (h, w) uint8.
+
+    PNG always goes through the vendored codec — NOT PIL even when PIL is
+    importable — so features are bit-deterministic across environments
+    (PIL's convert("L") uses >>16 fixed-point luma that differs by ±1 from
+    the vendored //1000 formula; a PIL-present machine would silently
+    break the image_features oracle otherwise).  PIL handles every other
+    format when importable; non-PNG without PIL raises loudly."""
+    from sparrow_ipc_spark.functions import png
+
+    if png.is_png(payload):
+        return png.luma(png.decode_png(payload))
     if _PIL_Image is not None:
         import io
 
         img = _PIL_Image.open(io.BytesIO(payload)).convert("L")  # pragma: no cover
         return np.asarray(img, dtype=np.uint8)  # pragma: no cover
-    from sparrow_ipc_spark.functions import png
-
-    if png.is_png(payload):
-        return png.luma(png.decode_png(payload))
     raise NotImplementedError(
         "non-PNG media decode requires PIL/libvips (not installable in this "
         "sandbox); PNG decodes via the vendored stdlib codec")

@@ -8,10 +8,13 @@ grayscale (color type 0), RGB (2), and RGBA (6).  Enough to make the
 multimodal ``image_features`` path a REAL decode end-to-end instead of a
 stand-in, while staying inside the no-install environment contract.
 
-Unfiltering is vectorized per scanline: filters Sub/Average/Paeth carry
-a left-pixel dependency, so those rows run a per-pixel numpy recurrence;
-None/Up rows are whole-row vectorized.  Encode (for fixtures and the
-resize sink) emits filter-0 scanlines + one zlib stream.
+Unfiltering: None/Up rows are whole-row vectorized and Sub is a per-lane
+cumulative sum; Average/Paeth carry a left-pixel dependency that is
+inherently sequential in x, so those rows run a Python-int recurrence
+(~10 MB/s — fine for metadata-scale thumbnails; a production deployment
+decoding photo-scale corpora would swap in PIL, which `_decode_image_real`
+already prefers for non-PNG).  Encode (for fixtures and the resize sink)
+emits filter-0 scanlines + one zlib stream.
 """
 
 from __future__ import annotations
@@ -37,7 +40,10 @@ def _chunks(payload: bytes):
         data = payload[pos + 8:pos + 8 + length]
         if len(data) != length:
             raise ValueError("png: truncated chunk")
-        expect = struct.unpack(">I", payload[pos + 8 + length:pos + 12 + length])[0]
+        crc_bytes = payload[pos + 8 + length:pos + 12 + length]
+        if len(crc_bytes) != 4:
+            raise ValueError("png: truncated chunk CRC")
+        expect = struct.unpack(">I", crc_bytes)[0]
         if zlib.crc32(tag + data) & 0xFFFFFFFF != expect:
             raise ValueError(f"png: bad CRC in {tag!r} chunk")
         yield tag, data
@@ -48,17 +54,25 @@ def _chunks(payload: bytes):
 
 
 def _paeth_row(cur: np.ndarray, prior: np.ndarray, bpp: int) -> np.ndarray:
-    out = np.empty_like(cur)
-    out[:bpp] = (cur[:bpp].astype(np.int32) + prior[:bpp]) & 0xFF
-    for i in range(bpp, len(cur)):
-        a = int(out[i - bpp])
-        b = int(prior[i])
-        c = int(prior[i - bpp])
+    # the left-pixel dependency makes this inherently sequential in x; the
+    # recurrence runs over plain Python ints (≈10× faster than per-element
+    # numpy scalar indexing — numpy scalars pay boxing per access)
+    c_list = cur.tolist()
+    p_list = prior.tolist()
+    out = c_list[:]
+    for i in range(min(bpp, len(c_list))):
+        out[i] = (c_list[i] + p_list[i]) & 0xFF
+    for i in range(bpp, len(c_list)):
+        a = out[i - bpp]
+        b = p_list[i]
+        c = p_list[i - bpp]
         p = a + b - c
-        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pa = p - a if p >= a else a - p
+        pb = p - b if p >= b else b - p
+        pc = p - c if p >= c else c - p
         pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-        out[i] = (int(cur[i]) + pred) & 0xFF
-    return out
+        out[i] = (c_list[i] + pred) & 0xFF
+    return np.asarray(out, dtype=np.uint8)
 
 
 def _sub_row(cur: np.ndarray, bpp: int) -> np.ndarray:
@@ -71,11 +85,15 @@ def _sub_row(cur: np.ndarray, bpp: int) -> np.ndarray:
 
 
 def _avg_row(cur: np.ndarray, prior: np.ndarray, bpp: int) -> np.ndarray:
-    out = np.empty_like(cur)
-    out[:bpp] = (cur[:bpp].astype(np.int32) + prior[:bpp] // 2) & 0xFF
-    for i in range(bpp, len(cur)):
-        out[i] = (int(cur[i]) + (int(out[i - bpp]) + int(prior[i])) // 2) & 0xFF
-    return out
+    # same left-dependency treatment as _paeth_row: Python-int recurrence
+    c_list = cur.tolist()
+    p_list = prior.tolist()
+    out = c_list[:]
+    for i in range(min(bpp, len(c_list))):
+        out[i] = (c_list[i] + p_list[i] // 2) & 0xFF
+    for i in range(bpp, len(c_list)):
+        out[i] = (c_list[i] + (out[i - bpp] + p_list[i]) // 2) & 0xFF
+    return np.asarray(out, dtype=np.uint8)
 
 
 def decode_png(payload: bytes) -> np.ndarray:
@@ -155,9 +173,12 @@ def encode_png(img: np.ndarray, level: int = 6) -> bytes:
 
 
 def luma(img: np.ndarray) -> np.ndarray:
-    """ITU-R BT.601 luma for RGB/RGBA; identity for grayscale.  Integer
-    rounding matches PIL's ``convert("L")`` (L = R*299/1000 + G*587/1000 +
-    B*114/1000, truncated)."""
+    """ITU-R BT.601 luma for RGB/RGBA; identity for grayscale.  Truncated
+    integer form L = (R*299 + G*587 + B*114) // 1000.  NOTE: PIL's
+    ``convert("L")`` uses ``(R*19595 + G*38470 + B*7471) >> 16`` fixed
+    point, which differs by ±1 on some pixels — callers needing
+    cross-environment determinism must route PNG through THIS module (see
+    multimodal._decode_image_real)."""
     if img.ndim == 2:
         return img
     r = img[..., 0].astype(np.uint32)

@@ -504,12 +504,24 @@ def require_local_dir(path: str) -> str:
     accepted (``file:`` prefix stripped)."""
     import re as _re
 
-    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://?(.*)$", path)
-    if m is None:
-        return path
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):(//)?(.*)$", path)
+    if m is None or m.group(2) is None and "/" not in path:
+        return path  # bare path (a lone word with no scheme-like shape)
     if m.group(1) == "file":
-        p = m.group(2)
-        return "/" + p.lstrip("/") if p else "/"
+        rest = m.group(3)
+        if m.group(2) is None:
+            # file:/path — no authority component at all
+            return rest if rest.startswith("/") else "/" + rest
+        # file://AUTHORITY/path: a non-local authority (file://nfs-host/x)
+        # must not be silently mangled into the local path /nfs-host/x
+        if not rest.startswith("/"):
+            authority, _, tail = rest.partition("/")
+            if authority not in ("", "localhost"):
+                raise ValueError(
+                    f"file:// URI with non-local authority '{authority}' — "
+                    "the commit plane is local-filesystem only")
+            rest = tail
+        return "/" + rest.lstrip("/") if rest else "/"
     raise ValueError(
         f"write_encoded commit plane is local-filesystem only (got scheme "
         f"'{m.group(1)}://'): the committed-state probe and sidecar files "
@@ -594,6 +606,25 @@ def write_encoded(
         from sparrow_ipc_spark.sources.manifest import read_manifest_rows
 
         prev_committed_rows = read_manifest_rows(out_dir)
+        # vacuum orphan block files from a crashed prior attempt: the
+        # manifest is the commit record, so an unmanifested parquet under
+        # blocks/ is uncommitted garbage — left in place it would
+        # (a) duplicate the retry's rows on decode and (b) permanently
+        # fail the manifest-vs-disk planning check, degrading every read
+        # to footer fallback.  Only possible when every committed row
+        # records its physical file (legacy rows cannot map files).
+        if prev_committed_rows and all(r.get("file") for r in prev_committed_rows):
+            committed_files = {r["file"] for r in prev_committed_rows}
+            bd = f"{out_dir}/blocks"
+            disk = ({f for f in _os.listdir(bd) if f.endswith(".parquet")}
+                    if _os.path.isdir(bd) else set())
+            # only vacuum when the committed mapping is CONSISTENT with
+            # disk (every manifested file present): a hand-rewritten or
+            # foreign-tool dir has stale file names, and deleting by a
+            # stale map would destroy committed data
+            if committed_files <= disk:
+                for f in disk - committed_files:
+                    _os.remove(_os.path.join(bd, f))
         part_ids = {int(r["part_id"]) for r in prev_committed_rows}
         prev_snapshots = {
             int(r["part_id"]): int(r.get("snapshot", 0) or 0)

@@ -546,11 +546,16 @@ def _publish(path: str, staging: str, messages, overwrite: bool,
     ]
     seg_name = f"seg-{batch_tag}.parquet" if batch_tag is not None else None
     write_segment(path, man_rows, seg_name)
+    # cursor BEFORE the marker: a crash between marker and cursor would
+    # leave a permanently-stale cursor on a replay-skipped batch (stale
+    # cursors are detected via segment count, but the detected fallback
+    # costs a full read forever); crash between cursor and marker just
+    # replays the batch, overwriting the same deterministic names
+    new_max = max([m.part_id for m in messages], default=-1)
+    write_cursor(path, snap, max(prev_max_part, new_max))
     if marker is not None:
         with open(os.path.join(path, "manifest", marker), "w") as mf:
             mf.write("committed")
-    new_max = max([m.part_id for m in messages], default=-1)
-    write_cursor(path, snap, max(prev_max_part, new_max))
     if schema_json is not None:
         # full Spark schema incl. per-field custom metadata (Schema-message
         # analog; reference src/metadata.cpp:7-23) — readable by

@@ -61,13 +61,24 @@ def manifest_pa_schema():
 
 
 def read_cursor(path: str) -> dict | None:
-    """O(1) committed state, or None (no cursor yet / unreadable)."""
+    """O(1) committed state, or None (no cursor / unreadable / STALE).
+
+    Staleness check: the cursor records the segment count it was written
+    against; a crash between a segment publish and the cursor update
+    leaves the count behind, and a stale cursor must NOT be trusted (it
+    would reuse snapshot and part ids).  The check is one directory
+    listing of names — still O(1) file reads."""
+    d = man_dir(path)
     try:
-        with open(os.path.join(man_dir(path), _CURSOR)) as f:
+        with open(os.path.join(d, _CURSOR)) as f:
             cur = json.load(f)
-        return cur if "snapshot" in cur and "max_part_id" in cur else None
     except (OSError, ValueError):
         return None
+    if "snapshot" not in cur or "max_part_id" not in cur:
+        return None
+    if int(cur.get("n_segments", -1)) != len(_segment_files(d)):
+        return None  # stale: a later segment committed without this cursor
+    return cur
 
 
 def write_cursor(path: str, snapshot: int, max_part_id: int) -> None:
@@ -75,7 +86,8 @@ def write_cursor(path: str, snapshot: int, max_part_id: int) -> None:
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f"_cursor.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as f:
-        json.dump({"snapshot": int(snapshot), "max_part_id": int(max_part_id)}, f)
+        json.dump({"snapshot": int(snapshot), "max_part_id": int(max_part_id),
+                   "n_segments": len(_segment_files(d))}, f)
     os.replace(tmp, os.path.join(d, _CURSOR))
 
 

@@ -124,11 +124,39 @@ def test_write_encoded_records_file_mapping(spark, tmp_path):
     assert {r["file"] for r in rows} == disk
 
 
+def test_append_vacuums_orphan_blocks(spark, tmp_path):
+    """A crashed append leaves unmanifested block files; the next
+    append/resume removes them (the manifest is the commit record), so
+    planning stays footer-free and decode never sees duplicates.  A
+    manifest whose file mapping is INCONSISTENT with disk (hand-rewritten
+    dir) must NOT vacuum."""
+    import shutil
+
+    from sparrow_ipc_spark.operators.encode_job import write_encoded
+    from sparrow_ipc_spark.sources.transcripts import transcripts_df
+
+    out = str(tmp_path / "enc")
+    df = transcripts_df(spark, n_convs=40, seed=5)
+    write_encoded(spark, df, out, n_parts=2)
+    bd = os.path.join(out, "blocks")
+    committed = {f for f in os.listdir(bd) if f.endswith(".parquet")}
+    # orphan: copy of a committed file under an unmanifested name
+    src = sorted(committed)[0]
+    shutil.copy2(os.path.join(bd, src), os.path.join(bd, "orphan-crash.parquet"))
+    df2 = transcripts_df(spark, n_convs=10, seed=6)
+    write_encoded(spark, df2, out, n_parts=1, append=True)
+    on_disk = {f for f in os.listdir(bd) if f.endswith(".parquet")}
+    assert "orphan-crash.parquet" not in on_disk
+    rows = M.read_manifest_rows(out)
+    assert {r["file"] for r in rows} == on_disk  # planning check holds
+
+
 def test_cursor_o1_latest_offset(ds_dir, monkeypatch):
     """latestOffset reads the O(1) cursor — never lists blocks/ (10^6
     files at scale) and never reads a segment."""
     cur = M.read_cursor(ds_dir)
-    assert cur == {"snapshot": 2, "max_part_id": cur["max_part_id"]}
+    assert cur is not None and cur["snapshot"] == 2
+    assert cur["n_segments"] == 3  # and a stale count invalidates it below
     fields = _infer_fields(ds_dir)
 
     import sparrow_ipc_spark.sources.datasource as D
@@ -220,3 +248,26 @@ def test_cursor_recovery_from_full_read(ds_dir, tmp_path):
     with open(os.path.join(out, "manifest", "_cursor.json"), "w") as f:
         f.write("{not json")
     assert M.committed_state(out) == (snap_fast, part_fast)
+
+
+def test_stale_cursor_detected_by_segment_count(ds_dir, tmp_path):
+    """A crash between a segment publish and the cursor update leaves the
+    cursor behind by one segment; read_cursor must refuse it (trusting it
+    would reuse snapshot/part ids) and committed_state must fall back to
+    the full read."""
+    import shutil
+
+    out = str(tmp_path / "copy")
+    shutil.copytree(ds_dir, out)
+    snap, maxp = M.committed_state(out)
+    # simulate the crash: a new segment lands, cursor not updated
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    row = {"part_id": maxp + 1, "n_blocks": 1, "n_rows": 1, "raw_bytes": 1,
+           "enc_bytes": 1, "codec_summary": "[]", "status": "committed",
+           "snapshot": snap + 1, "file": "zz.parquet", "file_row_groups": 1}
+    pq.write_table(pa.Table.from_pylist([row], schema=M.manifest_pa_schema()),
+                   os.path.join(out, "manifest", "seg-crashed.parquet"))
+    assert M.read_cursor(out) is None  # stale → refused
+    assert M.committed_state(out) == (snap + 1, maxp + 1)  # full read wins
