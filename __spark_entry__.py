@@ -414,11 +414,13 @@ WITH toks AS (
   JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
   GROUP BY p.id_a, p.id_b
 )
-SELECT i.id_a, i.id_b,
-       CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.id_a
-JOIN sizes sb ON sb.doc_id = i.id_b
+SELECT p.id_a, p.id_b,
+       CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         / (sa.sz + sb.sz - coalesce(i.n_inter, 0)) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
 """
 
 _NGRAM_DUCK = """
@@ -455,11 +457,13 @@ WITH toks AS (
   JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
   GROUP BY p.id_a, p.id_b
 )
-SELECT i.id_a, i.id_b,
-       CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.id_a
-JOIN sizes sb ON sb.doc_id = i.id_b
+SELECT p.id_a, p.id_b,
+       CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         / (sa.sz + sb.sz - coalesce(i.n_inter, 0)) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
 """
 
 _SQL["ngram_jaccard_lsh"] = (_NGRAM_SPARK, _NGRAM_DUCK)

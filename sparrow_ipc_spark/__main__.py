@@ -119,10 +119,12 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()[0]
         snaps = [r.asDict() for r in snapshots(spark, args.dir)
                  .select("snapshot", "n_parts", "n_rows", "enc_bytes").collect()]
+        # SUM over zero rows is NULL (an empty committed table is legal)
         print(json.dumps({
-            "blocks": int(totals["blocks"]), "rows": int(totals["rows"]),
-            "raw_bytes": int(totals["raw_bytes"]), "enc_bytes": int(totals["enc_bytes"]),
-            "ratio": round(totals["raw_bytes"] / max(1, totals["enc_bytes"]), 3),
+            "blocks": int(totals["blocks"]), "rows": int(totals["rows"] or 0),
+            "raw_bytes": int(totals["raw_bytes"] or 0),
+            "enc_bytes": int(totals["enc_bytes"] or 0),
+            "ratio": round((totals["raw_bytes"] or 0) / max(1, totals["enc_bytes"] or 0), 3),
             "codecs": [r.asDict() for r in per_col.collect()],
             "snapshots": snaps,
         }))

@@ -4,7 +4,14 @@ SimHash, n-gram Jaccard verification.
 Scale design: every operator is a shuffle-on-key groupBy/join — no
 pairwise O(n²) anywhere except *within* LSH buckets (bounded by bucket
 size).  Hashes are md5-based where oracle parity matters (identical in
-Spark and DuckDB) and xxhash64 (JVM-side, fast) where it doesn't."""
+Spark and DuckDB) and xxhash64 (JVM-side, fast) where it doesn't.
+
+Caching note: the self-join operators persist() their signature/shingle
+tables (both join sides read them; unpersisted lineage recomputes the
+most expensive aggregation twice).  The returned DataFrames are lazy, so
+the functions cannot unpersist inline — a long-lived session scoring many
+corpora should call ``spark.catalog.clearCache()`` between corpora (or
+materialize and unpersist the inputs); otherwise eviction is LRU."""
 
 from __future__ import annotations
 
@@ -185,7 +192,10 @@ def simhash_near_pairs(df: DataFrame, col: str = "text", id_col: str = "doc_id",
     """Near-dup pairs by SimHash: block on 16-bit chunks (any equal chunk
     → candidate; a pair within Hamming distance 3 must share one of the
     four 16-bit chunks), verify Hamming ≤ max_hamming via bit_count."""
-    sh = simhash64(df, col, id_col)
+    # feeds both self-join sides: without persist Spark recomputes the
+    # tokenize+explode+64-bit-sum lineage twice (same discipline as
+    # lsh_pairs and simhash_near_pairs_md5)
+    sh = simhash64(df, col, id_col).persist()
     chunks = F.explode(
         F.array(*[
             F.struct(
@@ -270,8 +280,14 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, col: str = "text",
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
+    # LEFT join back onto the candidate set: a pair with zero shared grams
+    # must verify as jaccard = 0.0, not silently vanish (callers reading
+    # absence as "never scored" would mis-account candidates vs verdicts)
     return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        pairs.select("id_a", "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .select(
             "id_a", "id_b",

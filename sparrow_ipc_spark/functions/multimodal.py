@@ -82,6 +82,14 @@ def _decode_image_fake(payload: bytes, width: int, height: int) -> np.ndarray:
     return tiled.reshape(max(1, height), max(1, width))
 
 
+def _int_or(v, default: int) -> int:
+    """Nullable Int columns surface in pandas as float64 NaN — which is
+    truthy, so ``int(v or 1)`` raises on NaN instead of defaulting."""
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return default
+    return int(v)
+
+
 def _entropy(b: np.ndarray) -> float:
     counts = np.bincount(b.reshape(-1), minlength=256)
     p = counts[counts > 0] / b.size
@@ -108,9 +116,9 @@ def image_features(df: DataFrame, use_real_decode: bool = False) -> DataFrame:
                 pdf["width"].to_numpy(), pdf["height"].to_numpy(),
             ):
                 if use_real_decode:
-                    img = _decode_image_real(payload)  # pragma: no cover
+                    img = _decode_image_real(payload)
                 else:
-                    img = _decode_image_fake(payload, int(w or 1), int(h or 1))
+                    img = _decode_image_fake(payload, _int_or(w, 1), _int_or(h, 1))
                 out.append(
                     (int(mid), img.shape[1], img.shape[0],
                      float(img.mean()), _entropy(img))
@@ -133,7 +141,7 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 pdf["height"].to_numpy(), pdf["duration_ms"].to_numpy(),
                 pdf["payload"].to_numpy(),
             ):
-                img = _decode_image_fake(payload, int(w or 1), int(h or 1))
+                img = _decode_image_fake(payload, _int_or(w, 1), _int_or(h, 1))
                 yi = np.linspace(0, img.shape[0] - 1, target_h).astype(np.int64)
                 xi = np.linspace(0, img.shape[1] - 1, target_w).astype(np.int64)
                 small = img[np.ix_(yi, xi)]

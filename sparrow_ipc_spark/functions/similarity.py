@@ -38,7 +38,10 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     """Exact top-k cosine neighbors of a literal query vector."""
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     qn = float(np.sqrt(np.dot(query_vec, query_vec)))
-    cos = _dot(F.col(vec_col), q) / (_norm(vec_col) * F.lit(qn))
+    # try_divide: an all-zero vector (or zero query) yields NULL cosine —
+    # sorted after every real score by desc-nulls-last — instead of a
+    # fatal DIVIDE_BY_ZERO under the session's default ANSI mode
+    cos = F.try_divide(_dot(F.col(vec_col), q), _norm(vec_col) * F.lit(qn))
     return (
         df.select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)
@@ -151,7 +154,9 @@ def pairwise_cosine_dedup(df: DataFrame, threshold: float = 0.95, n_planes: int 
     b = rhp_buckets(df, dim, n_planes, seed, vec_col)
     a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
     c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm("va") * _norm("vb"))
+    # try_divide: zero vectors score NULL (dropped by the >= threshold
+    # filter) instead of throwing under ANSI mode
+    cos = F.try_divide(_dot(F.col("va"), F.col("vb")), _norm("va") * _norm("vb"))
     return (
         a.join(c, "bucket")
         .where(F.col("id_a") < F.col("id_b"))

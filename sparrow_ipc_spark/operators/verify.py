@@ -41,18 +41,24 @@ def roundtrip_report(src: DataFrame, dec: DataFrame) -> dict:
     cols = [f.name for f in src.schema.fields]
     col_ok = {c: fs[f"h_{c}"] == fd[f"h_{c}"] for c in cols}
     # per-turn text equality under (conv_id, turn_idx) keys — shuffle the
-    # 8-byte text hash, not the text itself (same verdict, ~40× less I/O)
-    th = F.xxhash64(F.col("text"), F.isnull("text").cast("int"))
-    text_mismatches = (
-        src.select("conv_id", "turn_idx", th.alias("t_src"))
-        .join(
-            dec.select("conv_id", "turn_idx", th.alias("t_dec")),
-            ["conv_id", "turn_idx"],
-            "full_outer",
+    # 8-byte text hash, not the text itself (same verdict, ~40× less I/O).
+    # GENERIC tables (the engine encodes arbitrary schemas) skip the keyed
+    # check — the per-column multiset fingerprints above still cover every
+    # column — instead of failing with UNRESOLVED_COLUMN.
+    if {"conv_id", "turn_idx", "text"} <= set(cols):
+        th = F.xxhash64(F.col("text"), F.isnull("text").cast("int"))
+        text_mismatches = (
+            src.select("conv_id", "turn_idx", th.alias("t_src"))
+            .join(
+                dec.select("conv_id", "turn_idx", th.alias("t_dec")),
+                ["conv_id", "turn_idx"],
+                "full_outer",
+            )
+            .where(~F.col("t_src").eqNullSafe(F.col("t_dec")))
+            .count()
         )
-        .where(~F.col("t_src").eqNullSafe(F.col("t_dec")))
-        .count()
-    )
+    else:
+        text_mismatches = 0
     return {
         "rows_src": fs["n_rows"],
         "rows_dec": fd["n_rows"],

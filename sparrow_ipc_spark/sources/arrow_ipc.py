@@ -41,6 +41,12 @@ def write_ipc_stream(df: DataFrame, out_dir: str, compression: str | None = "zst
     (path, rows, bytes) report rows.  ``zstd`` level 1 matches the codec +
     level the reference pins (/root/reference/src/compression.cpp:197)."""
     os.makedirs(out_dir, exist_ok=True)
+    # a re-export with fewer partitions would otherwise leave stale
+    # part-NNNNN.arrows from a previous run, and read_ipc_stream globs
+    # every *.arrows — silently mixing old rows into the read
+    for f in os.listdir(out_dir):
+        if f.endswith(".arrows"):
+            os.remove(os.path.join(out_dir, f))
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         opts = _ipc_options(compression, level)  # IpcWriteOptions is not picklable

@@ -48,3 +48,17 @@ def test_foreign_ipc_stream_loads(spark, tmp_path_factory):
     assert sorted(((r["k"], r["s"]) for r in back.collect()),
                   key=lambda t: (t[0] is None, t[0] or 0)) == [
         (1, "a"), (2, None), (4, "dddd"), (None, "cc")]
+
+
+def test_reexport_clears_stale_files(spark, tmp_path):
+    """Re-exporting fewer partitions into the same dir must not leave the
+    previous run's part files for read_ipc_stream to silently mix in."""
+    from sparrow_ipc_spark.sources.arrow_ipc import read_ipc_stream, write_ipc_stream
+
+    out = str(tmp_path / "ipc")
+    df8 = spark.range(0, 100).selectExpr("id", "concat('x', id) as s").repartition(8)
+    write_ipc_stream(df8, out)
+    df2 = spark.range(0, 40).selectExpr("id", "concat('y', id) as s").repartition(2)
+    write_ipc_stream(df2, out)
+    back = read_ipc_stream(spark, out)
+    assert back.count() == 40

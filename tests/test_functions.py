@@ -201,3 +201,29 @@ def test_multimodal_plumbing(spark):
     )
     audio2 = multimodal.audio_features(media).collect()
     assert sorted(map(tuple, audio)) == sorted(map(tuple, audio2))
+
+
+def test_cosine_zero_vector_no_ansi_crash(spark):
+    """An all-zero embedding must yield NULL cosine (sorted after every
+    real score), not a fatal DIVIDE_BY_ZERO under the session's default
+    ANSI mode (round-4 review, confirmed by repro before the fix)."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.cosine_topk(df, [1.0, 0.0], k=3).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids[:2] == [0, 2]  # real scores first; zero vector last (NULL)
+    assert got[-1]["cosine"] is None
+    pairs = similarity.pairwise_cosine_dedup(df, threshold=0.5, n_planes=2)
+    pairs.collect()  # zero vector in a shared bucket must not throw
+
+
+def test_image_features_null_dims_no_crash(spark):
+    """MEDIA_SCHEMA declares width/height nullable → pandas delivers NaN;
+    the fake decoder must default, not crash on int(NaN)."""
+    m = spark.createDataFrame(
+        [(1, "image", "image/png", None, None, None, bytearray(b"abcd"))],
+        schema=multimodal.MEDIA_SCHEMA)
+    feats = multimodal.image_features(m).collect()
+    assert len(feats) == 1 and feats[0]["width"] == 1
+    resized = multimodal.resize_images(m, 4, 4).collect()
+    assert len(resized) == 1 and len(resized[0]["payload"]) == 16
