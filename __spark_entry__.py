@@ -468,6 +468,28 @@ JOIN sizes sb ON sb.doc_id = p.id_b
 
 _SQL["ngram_jaccard_lsh"] = (_NGRAM_SPARK, _NGRAM_DUCK)
 
+# cross-document duplicated k-token spans (substring-level dedup — the
+# distributed re-expression of Lee et al. ACL 2022's suffix-array pass):
+# one explode + one partial-agg groupBy in the engine; the oracle replays
+# the identical window/hash construction
+_DUP_SPANS_DUCK = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), w AS (
+  SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS span
+  FROM toks, UNNEST(range(0, len(t) - 5 + 1)) u(i)
+  WHERE len(t) >= 5
+)
+SELECT md5(span) AS span_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       MIN(doc_id) AS example_doc,
+       MIN(span) AS span
+FROM w GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+_SQL["duplicated_spans"] = (_DUP_SPANS_DUCK, _DUP_SPANS_DUCK)
+
 
 # --- similarity-search oracles: exact cosine top-k in pure SQL ---------------
 # The engine computes every dot/norm as a LEFT-ASSOCIATIVE fold of
@@ -1086,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["vocab_stats"] = _fn_query(X.vocab_stats)
     # oracle-checked operators whose Spark side is engine machinery
     out["simhash"] = _fn_query(D.simhash_md5)
+    out["duplicated_spans"] = _fn_query(D.duplicated_spans)
     # pipeline composition ops (functions.pipeline, codegen-only)
     from sparrow_ipc_spark.functions import pipeline as P
 

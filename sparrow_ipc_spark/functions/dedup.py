@@ -294,3 +294,43 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, col: str = "text",
             (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
         )
     )
+
+
+def duplicated_spans(df: DataFrame, k: int = 5, col: str = "text",
+                     id_col: str = "doc_id", min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicated k-token spans (substring-level dedup, the
+    distributed re-expression of the suffix-array pass in Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL 2022):
+    every overlapping k-token window is hashed and windows occurring in
+    ``>= min_docs`` DISTINCT documents are reported with document
+    frequency, total occurrence count and a deterministic example.
+
+    Scale shape: one explode + one groupBy on the span hash — map-side
+    partial aggregation bounds the shuffle by the number of DISTINCT
+    spans, and no join or window function appears anywhere.  md5 keeps
+    the hash oracle-replicable in DuckDB."""
+    t = F.trim(F.col(col))
+    toks = (
+        df.where(F.col(col).isNotNull() & (F.length(t) > 0))
+        .select(F.col(id_col), F.split(t, TOKEN_SPLIT).alias("_toks"))
+        .where(F.size("_toks") >= k)
+    )
+    spans = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - k),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, k)),
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy(F.md5("span").alias("span_hash"))
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.col(id_col)).alias("example_doc"),
+            F.min("span").alias("span"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

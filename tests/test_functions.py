@@ -227,3 +227,30 @@ def test_image_features_null_dims_no_crash(spark):
     assert len(feats) == 1 and feats[0]["width"] == 1
     resized = multimodal.resize_images(m, 4, 4).collect()
     assert len(resized) == 1 and len(resized[0]["payload"]) == 16
+
+
+def test_duplicated_spans(spark):
+    """Cross-document duplicated k-token spans: a 5-gram shared by two
+    docs is found with correct document/occurrence counts; spans inside
+    only one doc (even repeated there) don't qualify."""
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, f"intro {shared} outro"),
+        (1, f"{shared} completely other tail text"),
+        (2, f"self repeat {shared.replace('alpha', 'zeta')} and self repeat "
+            f"{shared.replace('alpha', 'zeta')}"),  # repeats only within doc 2
+        (3, "unrelated words that never repeat anywhere else at all"),
+        (4, None),
+        (5, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["span"]: r for r in dedup.duplicated_spans(df, k=5).collect()}
+    assert shared in out
+    assert out[shared]["n_docs"] == 2 and out[shared]["n_occurrences"] == 2
+    assert out[shared]["example_doc"] == 0
+    # within-one-doc repetition must NOT appear (min_docs=2 is cross-doc)
+    assert all(r["n_docs"] >= 2 for r in out.values())
+    assert not any("zeta" in s for s in out)
+    # plan shape: one aggregation, no join anywhere
+    plan = dedup.duplicated_spans(df, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
