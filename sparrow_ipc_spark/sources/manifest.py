@@ -76,8 +76,10 @@ def read_cursor(path: str) -> dict | None:
         return None
     if "snapshot" not in cur or "max_part_id" not in cur:
         return None
-    if int(cur.get("n_segments", -1)) != len(_segment_files(d)):
-        return None  # stale: a later segment committed without this cursor
+    # count legacy files too: a pre-segment manifest landing after the
+    # cursor was written (mixed-version writer) must also invalidate it
+    if int(cur.get("n_segments", -1)) != len(_segment_files(d)) + len(_legacy_files(d)):
+        return None  # stale: manifest changed without this cursor
     return cur
 
 
@@ -87,7 +89,7 @@ def write_cursor(path: str, snapshot: int, max_part_id: int) -> None:
     tmp = os.path.join(d, f"_cursor.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as f:
         json.dump({"snapshot": int(snapshot), "max_part_id": int(max_part_id),
-                   "n_segments": len(_segment_files(d))}, f)
+                   "n_segments": len(_segment_files(d)) + len(_legacy_files(d))}, f)
     os.replace(tmp, os.path.join(d, _CURSOR))
 
 
@@ -178,6 +180,13 @@ def _maybe_merge_segments(d: str, limit: int = SEGMENT_LIMIT) -> None:
     segs = _segment_files(d)
     if len(segs) <= limit:
         return
+    # merging changes the segment count a cursor was written against —
+    # drop the cursor first (write_segment already did on the normal
+    # path; this keeps direct/defensive callers safe too)
+    try:
+        os.remove(os.path.join(d, _CURSOR))
+    except FileNotFoundError:
+        pass
     rows = []
     for f in segs:
         rows.extend(pq.read_table(os.path.join(d, f)).to_pylist())
@@ -201,6 +210,15 @@ def write_segment(path: str, man_rows: list[dict], seg_name: str | None = None,
 
     d = man_dir(path)
     os.makedirs(d, exist_ok=True)
+    # STRUCTURAL cursor invalidation: delete the cursor before touching the
+    # log, so a crash anywhere before the caller's write_cursor leaves NO
+    # cursor (full-read fallback) rather than a stale one.  The n_segments
+    # check in read_cursor alone is not crash-safe: a merge can restore a
+    # count an old cursor was written against (found by the stateful fuzz).
+    try:
+        os.remove(os.path.join(d, _CURSOR))
+    except FileNotFoundError:
+        pass
     _migrate_legacy(d)
     if seg_name is None:
         seg_name = f"seg-{uuid.uuid4().hex[:12]}.parquet"
