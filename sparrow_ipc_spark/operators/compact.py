@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from sparrow_ipc_spark.operators.decode_job import decode_blocks
 from sparrow_ipc_spark.operators.encode_job import (
     encode_transcripts,
-    manifest_from_blocks,
     payload_from_dict_rows,
 )
 from sparrow_ipc_spark.schema import TRANSCRIPTS_SCHEMA
@@ -115,19 +114,15 @@ def compact_blocks(
     except Exception:
         prev_man = {}
     next_snap = (max(prev_man.values()) + 1) if prev_man else 0
-    written = spark.read.parquet(f"{out_dir}/blocks").drop("body")
-    man_rows = [r.asDict() for r in
-                manifest_from_blocks(written, with_file=True).collect()]
-    rg = M.row_group_counts(
-        [os.path.join(f"{out_dir}/blocks", f)
-         for f in os.listdir(f"{out_dir}/blocks") if f.endswith(".parquet")])
+    bd = f"{out_dir}/blocks"
+    all_files = sorted(f for f in os.listdir(bd) if f.endswith(".parquet"))
+    man_rows = M.manifest_rows_for_new_files(spark, bd, all_files, next_snap)
     for r in man_rows:
-        base = os.path.basename(r["file"])
-        r["file"] = base
-        r["file_row_groups"] = rg.get(base)
+        # untouched parts keep their original snapshot lineage; only the
+        # merged (rewritten) parts get the new snapshot
         r["snapshot"] = prev_man.get(int(r["part_id"]), next_snap)
     M.rewrite_manifest(out_dir, man_rows)
-    after = int(written.count())
+    after = sum(int(r["n_blocks"]) for r in man_rows)
     return {
         "before": before,
         "after": after,

@@ -166,8 +166,19 @@ def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
     which write committed which partitions, with row/byte totals."""
     from pyspark.sql import functions as F
 
+    man = spark.read.parquet(f"{out_dir}/manifest")
+    if "file" in man.columns:
+        # the segment log's crash contract (manifest.py): readers dedupe
+        # (part_id, file) keeping the highest snapshot — a crash between
+        # segment-merge and old-segment deletion leaves duplicate rows
+        # that would double-count n_rows/enc_bytes here
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("part_id", "file").orderBy(F.desc("snapshot"))
+        man = man.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") == 1).drop("_rn")
     return (
-        spark.read.parquet(f"{out_dir}/manifest")
+        man
         .groupBy("snapshot")
         .agg(
             # manifest rows are per (part, file); a part can span files

@@ -504,14 +504,16 @@ def require_local_dir(path: str) -> str:
     accepted (``file:`` prefix stripped)."""
     import re as _re
 
-    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):(//)?(.*)$", path)
-    if m is None or m.group(2) is None and "/" not in path:
-        return path  # bare path (a lone word with no scheme-like shape)
+    # only a '<scheme>://' shape is treated as a URI, plus the common
+    # 'file:/abs' form — a RELATIVE local path whose first segment happens
+    # to contain a colon ('data:v2/out') must pass through untouched
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://(.*)$", path)
+    if m is None:
+        if path.startswith("file:/"):
+            return path[len("file:"):]
+        return path
     if m.group(1) == "file":
-        rest = m.group(3)
-        if m.group(2) is None:
-            # file:/path — no authority component at all
-            return rest if rest.startswith("/") else "/" + rest
+        rest = m.group(2)
         # file://AUTHORITY/path: a non-local authority (file://nfs-host/x)
         # must not be silently mangled into the local path /nfs-host/x
         if not rest.startswith("/"):
@@ -712,16 +714,8 @@ def write_encoded(
     )
     man_rows: list[dict] = []
     if new_files:
-        written = spark.read.parquet(
-            *[f"{blocks_dir}/{f}" for f in new_files]).drop("body")
-        rg = M.row_group_counts([_os.path.join(blocks_dir, f) for f in new_files])
-        man_rows = [r.asDict() for r in
-                    manifest_from_blocks(written, with_file=True).collect()]
-        for r in man_rows:
-            base = _os.path.basename(r["file"])
-            r["file"] = base
-            r["file_row_groups"] = rg.get(base)
-            r["snapshot"] = this_snapshot
+        man_rows = M.manifest_rows_for_new_files(
+            spark, blocks_dir, new_files, this_snapshot)
         M.write_segment(out_dir, man_rows)
         all_parts = {int(r["part_id"]) for r in man_rows} | set(prev_snapshots)
         M.write_cursor(out_dir, this_snapshot, max(all_parts, default=-1))

@@ -357,27 +357,39 @@ class SparrowIPCStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"seen": [], "snap": -1}
 
+    def _snap_capable(self) -> bool:
+        """Snapshot offsets need EVERY manifest row to map a physical file
+        (a legacy-migrated row with file=None cannot be resolved — serving
+        snap offsets over such a dir would silently deliver nothing).
+        Checked once per reader instance (one manifest read), then the
+        per-trigger path is O(1)."""
+        if not hasattr(self, "_snap_ok"):
+            rows = _read_manifest_rows(self.path)
+            self._snap_ok = bool(rows) and all(r.get("file") for r in rows)
+        return self._snap_ok
+
     def latestOffset(self) -> dict:
         """Manifest-cursor offset: O(1) per trigger (one tiny JSON read),
         NOT a directory listing — at 10^12-turn scale ``blocks/`` holds
         ~10^6 files and an O(files) glob per micro-batch forever is a
         driver hot loop.  The committed snapshot id is the offset; the
         file set it denotes is resolved lazily in partitions().  Dirs
-        without a cursor/manifest (legacy) fall back to the file-set
-        offset."""
-        cur = read_cursor(self.path)
-        if cur is not None:
-            return {"snap": int(cur["snapshot"])}
-        rows = _read_manifest_rows(self.path)
-        if rows and all(r.get("file") for r in rows):
+        without a cursor/manifest, or with legacy rows that cannot map
+        files, fall back to the file-set offset."""
+        if self._snap_capable():
+            cur = read_cursor(self.path)
+            if cur is not None:
+                return {"snap": int(cur["snapshot"])}
+            rows = _read_manifest_rows(self.path)
             return {"snap": max(int(r.get("snapshot") or 0) for r in rows)}
         return {"seen": [os.path.basename(f) for f in _blocks_files(self.path)]}
 
-    def _files_at(self, snap: int) -> set[str] | None:
+    @staticmethod
+    def _files_at(rows: list[dict], snap: int) -> set[str] | None:
         """Block-file basenames committed at snapshot <= snap; None when
         the manifest cannot resolve files (legacy rows)."""
         out: set[str] = set()
-        for r in _read_manifest_rows(self.path):
+        for r in rows:
             if int(r.get("snapshot") or 0) <= snap:
                 f = r.get("file")
                 if not f:
@@ -385,16 +397,20 @@ class SparrowIPCStreamReader(DataSourceStreamReader):
                 out.add(f)
         return out
 
-    def _offset_files(self, off: dict) -> set[str]:
+    def _offset_files(self, off: dict, rows: list[dict] | None) -> set[str]:
         snap = int(off.get("snap", -1))
-        if snap >= 0:
-            files = self._files_at(snap)
+        if snap >= 0 and rows is not None:
+            files = self._files_at(rows, snap)
             if files is not None:
                 return files
         return set(off.get("seen", []))
 
     def partitions(self, start: dict, end: dict):
-        new = sorted(self._offset_files(end) - self._offset_files(start))
+        # ONE manifest read resolves both offsets (per micro-batch with
+        # new data; latestOffset itself stays cursor-O(1))
+        need_rows = int(start.get("snap", -1)) >= 0 or int(end.get("snap", -1)) >= 0
+        rows = _read_manifest_rows(self.path) if need_rows else None
+        new = sorted(self._offset_files(end, rows) - self._offset_files(start, rows))
         if not new:
             return []
         # dictionary snapshot rides in the partition: delta rows appended
@@ -531,6 +547,16 @@ def _publish(path: str, staging: str, messages, overwrite: bool,
     shutil.rmtree(staging, ignore_errors=True)
     prev_snap, prev_max_part = (-1, -1) if overwrite else committed_state(path)
     snap = prev_snap + 1
+    if batch_tag is not None:
+        # replay of a crashed deterministic commit must REUSE its recorded
+        # snapshot: minting a new one would make a snapshot-offset stream
+        # reader re-deliver the batch and time travel at the old snapshot
+        # silently lose it
+        from sparrow_ipc_spark.sources.manifest import segment_snapshot
+
+        prev = segment_snapshot(path, f"seg-{batch_tag}.parquet")
+        if prev is not None:
+            snap = prev
     man_rows = [
         {
             "part_id": m.part_id, "n_blocks": m.n_blocks, "n_rows": m.n_rows,

@@ -266,6 +266,57 @@ def committed_state(path: str) -> tuple[int, int]:
             max(int(r["part_id"]) for r in rows))
 
 
+def manifest_rows_for_new_files(spark, blocks_dir: str, new_files: list[str],
+                                snapshot: int) -> list[dict]:
+    """Manifest rows (with physical file mapping + commit-time row-group
+    counts + snapshot) for freshly-written block parquet files — the ONE
+    implementation of the O(batch) commit stamping shared by
+    write_encoded, the foreachBatch StreamingEncoder, and compaction
+    (three divergent copies of this block caused a replay bug once)."""
+    from sparrow_ipc_spark.operators.encode_job import manifest_from_blocks
+
+    if not new_files:
+        return []
+    written = spark.read.parquet(
+        *[os.path.join(blocks_dir, f) for f in new_files]).drop("body")
+    rg = row_group_counts([os.path.join(blocks_dir, f) for f in new_files])
+    rows = [r.asDict() for r in
+            manifest_from_blocks(written, with_file=True).collect()]
+    for r in rows:
+        base = os.path.basename(r["file"])
+        r["file"] = base
+        r["file_row_groups"] = rg.get(base)
+        r["snapshot"] = int(snapshot)
+    return rows
+
+
+def segment_snapshot(path: str, seg_name: str) -> int | None:
+    """Max snapshot recorded in one existing segment file, or None.  A
+    replayed deterministic commit must REUSE its crashed attempt's
+    snapshot — minting a new one would make a concurrent snapshot-offset
+    reader re-deliver the batch and time travel at the old snapshot lose
+    it."""
+    import pyarrow.parquet as pq
+
+    p = os.path.join(man_dir(path), seg_name)
+    if not os.path.isfile(p):
+        return None
+    col = pq.read_table(p, columns=["snapshot"]).column("snapshot").to_pylist()
+    return max((int(v or 0) for v in col), default=None)
+
+
+def segment_min_part(path: str, seg_name: str) -> int | None:
+    """Min part_id recorded in one existing segment file, or None — the
+    replay-stable part offset for a deterministic micro-batch commit."""
+    import pyarrow.parquet as pq
+
+    p = os.path.join(man_dir(path), seg_name)
+    if not os.path.isfile(p):
+        return None
+    col = pq.read_table(p, columns=["part_id"]).column("part_id").to_pylist()
+    return min((int(v) for v in col), default=None)
+
+
 def row_group_counts(paths: list[str], max_workers: int = 16) -> dict[str, int]:
     """{basename: parquet row-group count} for freshly-committed block
     files — O(batch) footer reads at COMMIT time (threaded), recorded in

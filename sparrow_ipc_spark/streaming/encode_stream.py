@@ -140,47 +140,42 @@ class StreamingEncoder:
             self.spark.createDataFrame(dict_rows, schema=DICTIONARY_SCHEMA).write.mode(
                 "append"
             ).parquet(f"{self.out_dir}/dictionaries")
-        from sparrow_ipc_spark.operators.encode_job import manifest_from_blocks
         from sparrow_ipc_spark.sources import manifest as M
 
         # part ids are offset past the committed table so micro-batches
         # never collide — without this, snapshot time travel over a
-        # streamed dir would resolve a part id to EVERY batch's rows
+        # streamed dir would resolve a part id to EVERY batch's rows.
+        # REPLAY STABILITY: a foreachBatch replay (crash after this
+        # batch's commit but before the checkpoint recorded it) must reuse
+        # the crashed attempt's part offset AND snapshot — both read back
+        # from its own deterministic segment.  With the same part ids the
+        # re-encode is byte-identical and decode_dir's
+        # (part_id, batch_seq, crc) dedupe collapses the leftover files;
+        # a fresh offset would decode every row of the batch twice.
+        seg_name = f"seg-fb-{batch_id:08d}.parquet"
         prev_snap, prev_max = M.committed_state(self.out_dir)
+        replay_off = M.segment_min_part(self.out_dir, seg_name)
+        replay_snap = M.segment_snapshot(self.out_dir, seg_name)
+        part_offset = replay_off if replay_off is not None else prev_max + 1
+        snap = replay_snap if replay_snap is not None else prev_snap + 1
         blocks_df, _, _ = encode_transcripts(
             self.spark, df, n_parts=self.n_parts, dict_cols=self.dict_cols,
-            dict_payload=self.payload(), part_offset=prev_max + 1,
+            dict_payload=self.payload(), part_offset=part_offset,
         )
         bd = f"{self.out_dir}/blocks"
         pre = set(os.listdir(bd)) if os.path.isdir(bd) else set()
         blocks_df.write.mode("append").parquet(bd)
         # O(batch) manifest-segment commit, same plane as write_encoded:
         # streamed dirs get footer-free DS planning, O(1) cursor offsets
-        # and snapshot lineage.  Segment name is deterministic per batch,
-        # so a foreachBatch replay overwrites its own segment; replayed
-        # block files (Spark names are not deterministic) are left as
-        # duplicates that decode_dir's byte-identical dedupe collapses and
-        # the planner's manifest-vs-disk check degrades to footer reads —
-        # correct either way.
+        # and snapshot lineage.
         new_files = sorted(f for f in os.listdir(bd)
                            if f.endswith(".parquet") and f not in pre)
         if not new_files:
             return
-        written = self.spark.read.parquet(
-            *[f"{bd}/{f}" for f in new_files]).drop("body")
-        rg = M.row_group_counts([os.path.join(bd, f) for f in new_files])
-        man_rows = [r.asDict() for r in
-                    manifest_from_blocks(written, with_file=True).collect()]
-        snap = prev_snap + 1
-        for r in man_rows:
-            base = os.path.basename(r["file"])
-            r["file"] = base
-            r["file_row_groups"] = rg.get(base)
-            r["snapshot"] = snap
-        M.write_segment(self.out_dir, man_rows,
-                        f"seg-fb-{batch_id:08d}.parquet")
+        man_rows = M.manifest_rows_for_new_files(self.spark, bd, new_files, snap)
+        M.write_segment(self.out_dir, man_rows, seg_name)
         new_max = max((int(r["part_id"]) for r in man_rows), default=prev_max)
-        M.write_cursor(self.out_dir, snap, max(prev_max, new_max))
+        M.write_cursor(self.out_dir, max(prev_snap, snap), max(prev_max, new_max))
 
 
 def encode_stream(spark: SparkSession, stream_df: DataFrame, out_dir: str,

@@ -161,22 +161,26 @@ def test_cursor_o1_latest_offset(ds_dir, monkeypatch):
 
     import sparrow_ipc_spark.sources.datasource as D
 
+    r = SparrowIPCStreamReader({"path": ds_dir}, fields)
+    assert r.latestOffset() == {"snap": 2}  # first call probes capability
+
     def boom(*a, **k):
         raise AssertionError("latestOffset touched the filesystem beyond the cursor")
 
     monkeypatch.setattr(D, "_blocks_files", boom)
     monkeypatch.setattr(D, "_read_manifest_rows", boom)
-    r = SparrowIPCStreamReader({"path": ds_dir}, fields)
+    # steady state: every subsequent trigger is one cursor read, O(1)
     assert r.latestOffset() == {"snap": 2}
 
 
 def test_stream_offsets_resolve_incremental_files(ds_dir):
     r = SparrowIPCStreamReader({"path": ds_dir}, _infer_fields(ds_dir))
     all_files = {os.path.basename(f) for f in _blocks_files(ds_dir)}
-    f0 = r._offset_files({"snap": 0})
-    f2 = r._offset_files({"snap": 2})
+    rows = M.read_manifest_rows(ds_dir)
+    f0 = r._offset_files({"snap": 0}, rows)
+    f2 = r._offset_files({"snap": 2}, rows)
     assert f0 < f2 == all_files
-    assert r._offset_files(r.initialOffset()) == set()
+    assert r._offset_files(r.initialOffset(), rows) == set()
     parts = r.partitions({"snap": 0}, {"snap": 2})
     assert {os.path.basename(p.file) for p in parts} == f2 - f0
 

@@ -206,3 +206,30 @@ def test_streaming_encoder_commits_manifest_segments(spark, tmp_path_factory):
     assert dec0.count() == b1.count()
     rep = roundtrip_report(df, decode_dir(spark, out))
     assert rep["all_columns_identical"] and rep["text_mismatches"] == 0
+
+
+def test_streaming_batch_replay_is_idempotent(spark, tmp_path_factory):
+    """foreachBatch replay (crash after commit, before the checkpoint
+    records the batch): re-running process_batch with the same batch_id
+    must reuse the crashed attempt's part offset and snapshot, so decode
+    collapses the leftover byte-identical files and no row duplicates."""
+    import os
+
+    from sparrow_ipc_spark.sources import manifest as M
+
+    out = str(tmp_path_factory.mktemp("stream_replay"))
+    df = transcripts_df(spark, n_convs=24, seed=13).cache()
+    b1 = df.where("substr(conv_id, -1, 1) < '5'").cache()
+    b2 = df.subtract(b1).cache()
+    enc = StreamingEncoder(spark, out, n_parts=2)
+    enc.process_batch(b1, 0)
+    snap0 = M.committed_state(out)[0]
+    # replay batch 0 with a FRESH encoder (driver restart lost the tracker)
+    enc2 = StreamingEncoder(spark, out, n_parts=2)
+    enc2.process_batch(b1, 0)
+    assert M.committed_state(out)[0] == snap0  # snapshot reused, not minted
+    enc2.process_batch(b2, 1)
+    dec = decode_dir(spark, out)
+    assert dec.count() == df.count()  # replay never duplicates rows
+    rep = roundtrip_report(df, dec)
+    assert rep["all_columns_identical"] and rep["text_mismatches"] == 0
