@@ -164,6 +164,9 @@ MANIFEST_SCHEMA = T.StructType(
         # (nullable: legacy manifests predate these)
         T.StructField("file", T.StringType(), True),
         T.StructField("file_row_groups", T.LongType(), True),
+        # the part-id offset the committing job encoded against — recorded
+        # so a replayed micro-batch commit reuses it exactly (nullable)
+        T.StructField("part_offset", T.LongType(), True),
     ]
 )
 

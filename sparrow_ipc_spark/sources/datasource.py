@@ -361,11 +361,16 @@ class SparrowIPCStreamReader(DataSourceStreamReader):
         """Snapshot offsets need EVERY manifest row to map a physical file
         (a legacy-migrated row with file=None cannot be resolved — serving
         snap offsets over such a dir would silently deliver nothing).
-        Checked once per reader instance (one manifest read), then the
-        per-trigger path is O(1)."""
+        A positive or legacy verdict is cached per reader instance (one
+        manifest read, then O(1) per trigger); an EMPTY manifest is NOT
+        cached — the first commit may land after the stream starts, and a
+        sticky False would pin a 10^6-file table to O(files) seen-set
+        offsets for the life of the query."""
         if not hasattr(self, "_snap_ok"):
             rows = _read_manifest_rows(self.path)
-            self._snap_ok = bool(rows) and all(r.get("file") for r in rows)
+            if not rows:
+                return False  # undecided: re-probe next trigger
+            self._snap_ok = all(r.get("file") for r in rows)
         return self._snap_ok
 
     def latestOffset(self) -> dict:
@@ -375,13 +380,17 @@ class SparrowIPCStreamReader(DataSourceStreamReader):
         driver hot loop.  The committed snapshot id is the offset; the
         file set it denotes is resolved lazily in partitions().  Dirs
         without a cursor/manifest, or with legacy rows that cannot map
-        files, fall back to the file-set offset."""
+        files, fall back to the file-set offset (mixing forms across
+        triggers is safe: partitions() resolves each side per its form)."""
         if self._snap_capable():
             cur = read_cursor(self.path)
             if cur is not None:
                 return {"snap": int(cur["snapshot"])}
             rows = _read_manifest_rows(self.path)
-            return {"snap": max(int(r.get("snapshot") or 0) for r in rows)}
+            if rows and all(r.get("file") for r in rows):
+                return {"snap": max(int(r.get("snapshot") or 0) for r in rows)}
+            # capability degraded mid-run (out-of-band legacy write or a
+            # mid-swap rewrite): fall through to the file-set offset
         return {"seen": [os.path.basename(f) for f in _blocks_files(self.path)]}
 
     @staticmethod
@@ -403,6 +412,15 @@ class SparrowIPCStreamReader(DataSourceStreamReader):
             files = self._files_at(rows, snap)
             if files is not None:
                 return files
+            if "seen" not in off:
+                # a committed snap offset that can no longer be resolved
+                # (legacy rows appeared after the checkpoint recorded it):
+                # failing loudly beats silently returning the empty set —
+                # that would advance the checkpoint past real data forever
+                raise ValueError(
+                    f"snapshot offset {snap} can no longer be resolved to "
+                    "a file set (manifest rows without file mapping); "
+                    "restart the stream to re-probe capability")
         return set(off.get("seen", []))
 
     def partitions(self, start: dict, end: dict):
@@ -552,9 +570,9 @@ def _publish(path: str, staging: str, messages, overwrite: bool,
         # snapshot: minting a new one would make a snapshot-offset stream
         # reader re-deliver the batch and time travel at the old snapshot
         # silently lose it
-        from sparrow_ipc_spark.sources.manifest import segment_snapshot
+        from sparrow_ipc_spark.sources.manifest import segment_commit_info
 
-        prev = segment_snapshot(path, f"seg-{batch_tag}.parquet")
+        _, prev = segment_commit_info(path, f"seg-{batch_tag}.parquet")
         if prev is not None:
             snap = prev
     man_rows = [

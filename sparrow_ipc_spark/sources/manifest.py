@@ -56,6 +56,11 @@ def manifest_pa_schema():
             ("enc_bytes", pa.int64()), ("codec_summary", pa.string()),
             ("status", pa.string()), ("snapshot", pa.int64()),
             ("file", pa.string()), ("file_row_groups", pa.int64()),
+            # the part-id offset the committing job encoded against —
+            # recorded explicitly because a replay must reuse it exactly
+            # and min(part_id) under-reports it whenever the lowest hash
+            # partition encoded zero rows (nullable: legacy rows)
+            ("part_offset", pa.int64()),
         ]
     )
 
@@ -169,15 +174,22 @@ def _migrate_legacy(d: str) -> None:
         os.remove(s)
 
 
-def _maybe_merge_segments(d: str, limit: int = SEGMENT_LIMIT) -> None:
-    """Merge all segments into one when the count exceeds ``limit`` —
-    the periodic compaction that keeps reader cost bounded (the Iceberg
-    rewrite-manifests analog).  Crash mid-delete leaves duplicate rows;
-    readers dedupe on (part_id, file) so this is safe."""
+def _maybe_merge_segments(d: str, limit: int = SEGMENT_LIMIT,
+                          keep: str | None = None) -> None:
+    """Merge segments into one when the count exceeds ``limit`` — the
+    periodic compaction that keeps reader cost bounded (the Iceberg
+    rewrite-manifests analog).  ``keep`` (the just-written deterministic
+    segment) is EXCLUDED from the merge: a crashed micro-batch commit is
+    replayed against its own segment to recover its part offset and
+    snapshot, so merging it away would make the replay mint fresh ids and
+    duplicate the batch.  Only the newest deterministic segment is ever a
+    replay target (Spark replays just the last uncommitted batch); older
+    ones merge freely.  Crash mid-delete leaves duplicate rows; readers
+    dedupe on (part_id, file) so this is safe."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    segs = _segment_files(d)
+    segs = [s for s in _segment_files(d) if s != keep]
     if len(segs) <= limit:
         return
     # merging changes the segment count a cursor was written against —
@@ -228,11 +240,12 @@ def write_segment(path: str, man_rows: list[dict], seg_name: str | None = None,
         r.setdefault("snapshot", 0)
         r.setdefault("file", None)
         r.setdefault("file_row_groups", None)
+        r.setdefault("part_offset", None)
         rows.append(r)
     tmp = os.path.join(d, f"_{seg_name}.tmp")
     pq.write_table(pa.Table.from_pylist(rows, schema=manifest_pa_schema()), tmp)
     os.replace(tmp, os.path.join(d, seg_name))
-    _maybe_merge_segments(d, merge_limit)
+    _maybe_merge_segments(d, merge_limit, keep=seg_name)
     return seg_name
 
 
@@ -290,31 +303,31 @@ def manifest_rows_for_new_files(spark, blocks_dir: str, new_files: list[str],
     return rows
 
 
-def segment_snapshot(path: str, seg_name: str) -> int | None:
-    """Max snapshot recorded in one existing segment file, or None.  A
-    replayed deterministic commit must REUSE its crashed attempt's
-    snapshot — minting a new one would make a concurrent snapshot-offset
-    reader re-deliver the batch and time travel at the old snapshot lose
-    it."""
+def segment_commit_info(path: str, seg_name: str) -> tuple[int | None, int | None]:
+    """(part_offset, snapshot) recorded in one existing deterministic
+    segment, or (None, None) when absent — ONE read of the two values a
+    replayed micro-batch commit must reuse together.  Minting fresh ones
+    would re-encode the batch under new part ids (decode's byte-identical
+    dedupe stops matching → every row doubles) and shift its snapshot (a
+    snapshot-offset reader re-delivers; old-snapshot time travel loses
+    it).  part_offset is the recorded column when present (exact even if
+    the lowest hash partition encoded zero rows); min(part_id) covers
+    pre-column segments."""
     import pyarrow.parquet as pq
 
     p = os.path.join(man_dir(path), seg_name)
     if not os.path.isfile(p):
-        return None
-    col = pq.read_table(p, columns=["snapshot"]).column("snapshot").to_pylist()
-    return max((int(v or 0) for v in col), default=None)
-
-
-def segment_min_part(path: str, seg_name: str) -> int | None:
-    """Min part_id recorded in one existing segment file, or None — the
-    replay-stable part offset for a deterministic micro-batch commit."""
-    import pyarrow.parquet as pq
-
-    p = os.path.join(man_dir(path), seg_name)
-    if not os.path.isfile(p):
-        return None
-    col = pq.read_table(p, columns=["part_id"]).column("part_id").to_pylist()
-    return min((int(v) for v in col), default=None)
+        return None, None
+    t = pq.read_table(p)
+    snap_col = t.column("snapshot").to_pylist() if "snapshot" in t.column_names else []
+    snap = max((int(v or 0) for v in snap_col), default=None)
+    off = None
+    if "part_offset" in t.column_names:
+        offs = [int(v) for v in t.column("part_offset").to_pylist() if v is not None]
+        off = min(offs) if offs else None
+    if off is None and "part_id" in t.column_names:
+        off = min((int(v) for v in t.column("part_id").to_pylist()), default=None)
+    return off, snap
 
 
 def row_group_counts(paths: list[str], max_workers: int = 16) -> dict[str, int]:

@@ -154,8 +154,7 @@ class StreamingEncoder:
         # a fresh offset would decode every row of the batch twice.
         seg_name = f"seg-fb-{batch_id:08d}.parquet"
         prev_snap, prev_max = M.committed_state(self.out_dir)
-        replay_off = M.segment_min_part(self.out_dir, seg_name)
-        replay_snap = M.segment_snapshot(self.out_dir, seg_name)
+        replay_off, replay_snap = M.segment_commit_info(self.out_dir, seg_name)
         part_offset = replay_off if replay_off is not None else prev_max + 1
         snap = replay_snap if replay_snap is not None else prev_snap + 1
         blocks_df, _, _ = encode_transcripts(
@@ -173,6 +172,11 @@ class StreamingEncoder:
         if not new_files:
             return
         man_rows = M.manifest_rows_for_new_files(self.spark, bd, new_files, snap)
+        for r in man_rows:
+            # the replay-stable offset must be recorded EXPLICITLY:
+            # min(part_id) under-reports it when the lowest hash partition
+            # of this batch encoded zero rows
+            r["part_offset"] = part_offset
         M.write_segment(self.out_dir, man_rows, seg_name)
         new_max = max((int(r["part_id"]) for r in man_rows), default=prev_max)
         M.write_cursor(self.out_dir, max(prev_snap, snap), max(prev_max, new_max))

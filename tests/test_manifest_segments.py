@@ -275,3 +275,62 @@ def test_stale_cursor_detected_by_segment_count(ds_dir, tmp_path):
                    os.path.join(out, "manifest", "seg-crashed.parquet"))
     assert M.read_cursor(out) is None  # stale → refused
     assert M.committed_state(out) == (snap + 1, maxp + 1)  # full read wins
+
+
+def test_merge_keeps_just_written_deterministic_segment(tmp_path):
+    """Segment merging must never fold away the segment a replay would
+    need: the just-written deterministic segment survives the merge."""
+    out = str(tmp_path / "t")
+    for i in range(5):
+        M.write_segment(out, [{
+            "part_id": i, "n_blocks": 1, "n_rows": 1, "raw_bytes": 1,
+            "enc_bytes": 1, "codec_summary": "[]", "status": "committed",
+            "snapshot": i, "file": f"f{i}.parquet", "file_row_groups": 1,
+        }], f"seg-fb-{i:08d}.parquet", merge_limit=0)
+        d = os.path.join(out, "manifest")
+        assert f"seg-fb-{i:08d}.parquet" in os.listdir(d)
+    # every row still readable after the rolling merges
+    assert {int(r["part_id"]) for r in M.read_manifest_rows(out)} == set(range(5))
+
+
+def test_segment_commit_info_prefers_recorded_offset(tmp_path):
+    """The replayed part offset comes from the recorded part_offset column
+    (exact even when the lowest hash partition encoded zero rows), not
+    min(part_id)."""
+    out = str(tmp_path / "t")
+    M.write_segment(out, [{
+        "part_id": 11, "n_blocks": 1, "n_rows": 1, "raw_bytes": 1,
+        "enc_bytes": 1, "codec_summary": "[]", "status": "committed",
+        "snapshot": 3, "file": "f11.parquet", "file_row_groups": 1,
+        "part_offset": 10,  # partition 0 (part 10) was empty
+    }], "seg-fb-00000007.parquet")
+    off, snap = M.segment_commit_info(out, "seg-fb-00000007.parquet")
+    assert (off, snap) == (10, 3)
+    assert M.segment_commit_info(out, "seg-fb-00000099.parquet") == (None, None)
+
+
+def test_unresolvable_snap_offset_fails_loudly(ds_dir, tmp_path):
+    """A checkpointed snapshot offset that legacy (file=None) rows make
+    unresolvable must raise — silently treating it as the empty set would
+    advance the checkpoint past real data forever."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    out = str(tmp_path / "copy")
+    shutil.copytree(ds_dir, out)
+    fields = _infer_fields(out)
+    r = SparrowIPCStreamReader({"path": out}, fields)
+    assert "snap" in r.latestOffset()
+    # out-of-band legacy row (no file mapping) lands mid-run
+    legacy = pa.Table.from_pylist([{
+        "part_id": 999, "n_blocks": 1, "n_rows": 1, "raw_bytes": 1,
+        "enc_bytes": 1, "codec_summary": "[]", "status": "committed",
+    }])
+    pq.write_table(legacy, os.path.join(out, "manifest", "manifest.parquet"))
+    # degraded capability: latestOffset falls back to the file-set form
+    assert "seen" in r.latestOffset()
+    with _pytest.raises(ValueError, match="snapshot offset"):
+        r.partitions({"snap": 0}, {"snap": 2})
