@@ -22,6 +22,16 @@ Layout of ``<table>/manifest/``:
   the directory.  Missing/stale cursor degrades to a full segment read.
 * ``_batch_<id>``     — streaming exactly-once markers (unchanged).
 
+Concurrency contract: ONE writer per table at a time (crash-and-retry of
+that writer is fully handled; two LIVE writers are not — both would read
+the same committed state and mint colliding part ids/snapshots).  This is
+the same stance as Iceberg without a catalog: multi-writer needs a
+compare-and-swap commit arbiter, which a plain filesystem cannot provide;
+pointing a catalog/lock service at ``write_segment``/``write_cursor`` is
+the single integration point.  Readers are always safe concurrently with
+the one writer (segments appear atomically; a half-published batch is
+exposed at worst, never duplicated).
+
 Crash contract: a segment file appears atomically (tmp + ``os.replace``).
 Stream commits use DETERMINISTIC segment names (``seg-batch-<id>.parquet``)
 so a replayed half-crashed commit overwrites its own segment instead of
