@@ -235,7 +235,12 @@ def decode_dir(
     # is hot-path latency
     chk = keys.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count_distinct("part_id", "batch_seq", "body_crc32", "n_rows").alias("d"),
+        # distinct over a STRUCT, not a column tuple: COUNT(DISTINCT a,b,c)
+        # drops tuples with any NULL field, so a NULL body_crc32 (nullable
+        # in BLOCK_SCHEMA) would spuriously flag duplicates and run the
+        # recovery window on every healthy read
+        F.count_distinct(F.struct("part_id", "batch_seq", "body_crc32",
+                                  "n_rows")).alias("d"),
     ).first()
     if int(chk["n"] or 0) != int(chk["d"] or 0):
         w = Window.partitionBy("part_id", "batch_seq", "body_crc32",

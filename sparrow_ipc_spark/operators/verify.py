@@ -64,11 +64,15 @@ def roundtrip_report(src: DataFrame, dec: DataFrame) -> dict:
             .count()
         )
     else:
-        text_mismatches = 0
+        # skipped ≠ clean: None (plus the explicit flag) so a caller
+        # auditing transcript-shaped data with a renamed column cannot
+        # read an unrun check as a pass ("== 0" is False for None)
+        text_mismatches = None
     return {
         "rows_src": fs["n_rows"],
         "rows_dec": fd["n_rows"],
         "columns_ok": col_ok,
         "all_columns_identical": all(col_ok.values()) and fs["n_rows"] == fd["n_rows"],
         "text_mismatches": text_mismatches,
+        "text_check_skipped": text_mismatches is None,
     }

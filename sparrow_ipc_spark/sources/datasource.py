@@ -204,7 +204,9 @@ class SparrowIPCReader(DataSourceReader):
         ok = bool(rows)
         for r in rows:
             f, nrg = r.get("file"), r.get("file_row_groups")
-            if not f or not nrg:
+            # nrg == 0 is a legitimately EMPTY committed file, not a
+            # missing count — only absence (None) degrades to footer reads
+            if not f or nrg is None:
                 ok = False
                 break
             by_file[f] = max(by_file.get(f, 0), int(nrg))

@@ -180,6 +180,24 @@ class StreamingEncoder:
         M.write_segment(self.out_dir, man_rows, seg_name)
         new_max = max((int(r["part_id"]) for r in man_rows), default=prev_max)
         M.write_cursor(self.out_dir, max(prev_snap, snap), max(prev_max, new_max))
+        if replay_off is not None:
+            # REPLAY VACUUM: the crashed attempt's uuid-named block files
+            # are now unmanifested (this replay's segment overwrote the
+            # crashed segment with the fresh file names Spark minted).
+            # decode_dir collapses them via its (part_id, batch_seq, crc)
+            # dedupe, but the batch DataSource reader decodes every file on
+            # disk — left in place they'd permanently double the batch's
+            # rows there AND fail the manifest-vs-disk planning check.
+            # Same safety guard as write_encoded: only delete when every
+            # committed row maps a file and the committed map is consistent
+            # with disk (a stale map must never drive deletes).
+            committed_rows = M.read_manifest_rows(self.out_dir)
+            if committed_rows and all(r.get("file") for r in committed_rows):
+                committed_files = {r["file"] for r in committed_rows}
+                disk = {f for f in os.listdir(bd) if f.endswith(".parquet")}
+                if committed_files <= disk:
+                    for f in disk - committed_files:
+                        os.remove(os.path.join(bd, f))
 
 
 def encode_stream(spark: SparkSession, stream_df: DataFrame, out_dir: str,

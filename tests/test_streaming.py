@@ -233,3 +233,13 @@ def test_streaming_batch_replay_is_idempotent(spark, tmp_path_factory):
     assert dec.count() == df.count()  # replay never duplicates rows
     rep = roundtrip_report(df, dec)
     assert rep["all_columns_identical"] and rep["text_mismatches"] == 0
+    # replay VACUUM: the crashed attempt's uuid-named block files must be
+    # gone — blocks/ holds exactly the manifested set, so readers without
+    # the (part_id, batch_seq, crc) dedupe (the batch DataSource) see each
+    # row once and the manifest-vs-disk planning fast path stays intact
+    disk = {f for f in os.listdir(f"{out}/blocks") if f.endswith(".parquet")}
+    manifested = {r["file"] for r in M.read_manifest_rows(out)}
+    assert disk == manifested
+    from sparrow_ipc_spark.sources.datasource import read_encoded
+
+    assert read_encoded(spark, out).count() == df.count()
