@@ -58,10 +58,16 @@ def compact_blocks(
         with open(jp) as jf:
             job = _json.load(jf)
     blocks = spark.read.parquet(f"{out_dir}/blocks")
-    meta = blocks.select("part_id", "n_rows").collect()
-    before = len(meta)
+    # scalar aggregates only — collecting per-block metadata rows to the
+    # driver would be O(blocks) dicts (~15M at 10^12 turns)
+    agg = blocks.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.max("part_id").alias("max_part"),
+        F.sum((F.col("n_rows") < small_rows).cast("long")).alias("n_small"),
+    ).first()
+    before = int(agg["n_blocks"] or 0)
     small = blocks.where(F.col("n_rows") < small_rows)
-    n_small = small.select("part_id", "batch_seq").count()
+    n_small = int(agg["n_small"] or 0)
     if n_small <= 1:
         return {"before": before, "after": before, "compacted": 0, "rows_moved": 0}
 
@@ -69,7 +75,7 @@ def compact_blocks(
     payload = payload_from_dict_rows(dict_rows)
     dec = decode_blocks(spark, small, dict_rows, schema=schema)
     rows_moved = dec.count()
-    part_offset = max(int(r["part_id"]) for r in meta) + 1
+    part_offset = int(agg["max_part"]) + 1
     n_parts = max(1, (rows_moved + target_rows - 1) // target_rows)
     cols = tuple(payload.keys()) if dict_cols is None else tuple(dict_cols)
     names = [f.name for f in schema.fields]
@@ -90,13 +96,27 @@ def compact_blocks(
     keep = blocks.where(F.col("n_rows") >= small_rows)
     combined = keep.unionByName(new_blocks)
 
-    # parquet dirs are immutable while read: stage the rewrite, then swap
+    # parquet dirs are immutable while read: stage the rewrite, then swap.
+    # The swap + manifest rewrite run under the table's commit lease — a
+    # concurrent appender racing the compaction swap would otherwise land
+    # block files into the dir being renamed away.
+    from sparrow_ipc_spark.sources.manifest import acquire_commit_lease
+
     tmp = f"{out_dir}/blocks_compact_{uuid.uuid4().hex[:8]}"
     combined.write.mode("overwrite").parquet(tmp)
-    old = f"{out_dir}/blocks_old_{uuid.uuid4().hex[:8]}"
-    os.rename(f"{out_dir}/blocks", old)
-    os.rename(tmp, f"{out_dir}/blocks")
-    shutil.rmtree(old, ignore_errors=True)
+    lease = acquire_commit_lease(out_dir)
+    try:
+        old = f"{out_dir}/blocks_old_{uuid.uuid4().hex[:8]}"
+        os.rename(f"{out_dir}/blocks", old)
+        os.rename(tmp, f"{out_dir}/blocks")
+        shutil.rmtree(old, ignore_errors=True)
+        return _finish_compact(spark, out_dir, before, n_small, rows_moved)
+    finally:
+        lease.release()
+
+
+def _finish_compact(spark: SparkSession, out_dir: str, before: int,
+                    n_small: int, rows_moved: int) -> dict:
 
     # compaction is a REWRITE: compacted part files are gone, so time travel
     # reaches back only to this new snapshot for the merged rows; untouched

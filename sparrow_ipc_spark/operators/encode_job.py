@@ -587,11 +587,40 @@ def write_encoded(
     are never rewritten (reference delta rules:
     /root/reference/src/dictionary_cache.cpp:20-111,
     dictionary_tracker.cpp:128-169).
-    """
-    import json as _json
-    import os as _os
+
+    The whole job runs under the table's commit lease (manifest.
+    CommitLease): part-id offsets and skip sets are derived from committed
+    state, so a concurrent writer reading the same state would mint
+    colliding ids — writers serialize on the lease, and a job that loses
+    an expired lease fails loudly BEFORE publishing."""
+    from sparrow_ipc_spark.sources.manifest import acquire_commit_lease
 
     out_dir = require_local_dir(out_dir)
+    lease = acquire_commit_lease(out_dir)
+    try:
+        return _write_encoded_under_lease(
+            spark, df, out_dir, n_parts, dict_cols, salt_span, resume,
+            append, clustered, cluster_by, order_by, lease)
+    finally:
+        lease.release()
+
+
+def _write_encoded_under_lease(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    n_parts: int | None,
+    dict_cols,
+    salt_span: int,
+    resume: bool,
+    append: bool,
+    clustered: bool,
+    cluster_by: str,
+    order_by: str | None,
+    lease,
+) -> dict:
+    import json as _json
+    import os as _os
     skip: set[int] = set()
     mode = "overwrite"
     part_offset = 0
@@ -699,6 +728,7 @@ def write_encoded(
         import shutil as _shutil
 
         _shutil.rmtree(M.man_dir(out_dir), ignore_errors=True)
+        lease.recreate()  # the clear took the lease file with it
     blocks_df.write.mode(mode).parquet(blocks_dir)
     # O(batch) commit: manifest rows are derived from the NEWLY-written
     # block files only and published as ONE append-only manifest segment —
@@ -716,6 +746,9 @@ def write_encoded(
     if new_files:
         man_rows = M.manifest_rows_for_new_files(
             spark, blocks_dir, new_files, this_snapshot)
+        # a long encode can outlive the lease: a stolen lease must abort
+        # HERE, before the segment publishes over a foreign commit
+        lease.assert_owned()
         M.write_segment(out_dir, man_rows)
         all_parts = {int(r["part_id"]) for r in man_rows} | set(prev_snapshots)
         M.write_cursor(out_dir, this_snapshot, max(all_parts, default=-1))

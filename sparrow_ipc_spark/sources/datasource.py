@@ -88,9 +88,11 @@ def _infer_fields(path: str) -> list[tuple[str, str]]:
 
 
 from sparrow_ipc_spark.sources.manifest import (
+    cached_plan,
     committed_state,
+    new_files_between,
     read_cursor,
-    read_manifest_rows as _read_manifest_rows,
+    read_manifest_table as _read_manifest_table,
     write_cursor,
     write_segment,
 )
@@ -189,6 +191,32 @@ class SparrowIPCReader(DataSourceReader):
     # cost O(blocks²) footer work and a task-scheduling flood
     MAX_TASKS_PER_FILE = 256
 
+    def _manifest_rg_map(self) -> dict[str, int] | None:
+        """{basename: row-group count} from the committed manifest, or
+        None when any row lacks the mapping.  Column-pruned (3 int/str
+        columns of 11), vectorized, and memoized on the manifest state
+        token — repeat planning over an unchanged table reads nothing."""
+        def build() -> dict[str, int] | None:
+            t = _read_manifest_table(
+                self.path, ["file", "file_row_groups"])
+            if not t.num_rows:
+                return None
+            fc, nc = t.column("file"), t.column("file_row_groups")
+            # nrg == 0 is a legitimately EMPTY committed file, not a
+            # missing count — only absence (None) degrades to footer reads
+            if fc.null_count or nc.null_count:
+                return None
+            out: dict[str, int] = {}
+            for f, n in zip(fc.to_pylist(), nc.to_pylist()):
+                if not f:
+                    return None
+                prev = out.get(f)
+                if prev is None or n > prev:
+                    out[f] = int(n)
+            return out
+
+        return cached_plan(self.path, "rg_map", build)
+
     def _rg_counts(self) -> list[tuple[str, int]]:
         """[(file path, row-group count)] for every committed block file.
 
@@ -199,18 +227,8 @@ class SparrowIPCReader(DataSourceReader):
         manifest / legacy rows without file info / manifest-vs-disk
         mismatch after a crash): threaded footer reads."""
         disk = _blocks_files(self.path)
-        rows = _read_manifest_rows(self.path)
-        by_file: dict[str, int] = {}
-        ok = bool(rows)
-        for r in rows:
-            f, nrg = r.get("file"), r.get("file_row_groups")
-            # nrg == 0 is a legitimately EMPTY committed file, not a
-            # missing count — only absence (None) degrades to footer reads
-            if not f or nrg is None:
-                ok = False
-                break
-            by_file[f] = max(by_file.get(f, 0), int(nrg))
-        if ok and set(by_file) == {os.path.basename(p) for p in disk}:
+        by_file = self._manifest_rg_map()
+        if by_file is not None and set(by_file) == {os.path.basename(p) for p in disk}:
             d = os.path.join(self.path, "blocks")
             return [(os.path.join(d, f), n) for f, n in sorted(by_file.items())]
         from sparrow_ipc_spark.sources.manifest import row_group_counts
@@ -364,15 +382,15 @@ class SparrowIPCStreamReader(DataSourceStreamReader):
         (a legacy-migrated row with file=None cannot be resolved — serving
         snap offsets over such a dir would silently deliver nothing).
         A positive or legacy verdict is cached per reader instance (one
-        manifest read, then O(1) per trigger); an EMPTY manifest is NOT
-        cached — the first commit may land after the stream starts, and a
-        sticky False would pin a 10^6-file table to O(files) seen-set
-        offsets for the life of the query."""
+        column-pruned manifest read, then O(1) per trigger); an EMPTY
+        manifest is NOT cached — the first commit may land after the
+        stream starts, and a sticky False would pin a 10^6-file table to
+        O(files) seen-set offsets for the life of the query."""
         if not hasattr(self, "_snap_ok"):
-            rows = _read_manifest_rows(self.path)
-            if not rows:
+            t = _read_manifest_table(self.path, ["file"])
+            if not t.num_rows:
                 return False  # undecided: re-probe next trigger
-            self._snap_ok = all(r.get("file") for r in rows)
+            self._snap_ok = t.column("file").null_count == 0
         return self._snap_ok
 
     def latestOffset(self) -> dict:
@@ -384,34 +402,29 @@ class SparrowIPCStreamReader(DataSourceStreamReader):
         without a cursor/manifest, or with legacy rows that cannot map
         files, fall back to the file-set offset (mixing forms across
         triggers is safe: partitions() resolves each side per its form)."""
+        import pyarrow.compute as pc
+
         if self._snap_capable():
             cur = read_cursor(self.path)
             if cur is not None:
                 return {"snap": int(cur["snapshot"])}
-            rows = _read_manifest_rows(self.path)
-            if rows and all(r.get("file") for r in rows):
-                return {"snap": max(int(r.get("snapshot") or 0) for r in rows)}
+            t = _read_manifest_table(self.path, ["file", "snapshot"])
+            if t.num_rows and t.column("file").null_count == 0:
+                return {"snap": int(pc.max(
+                    pc.fill_null(t.column("snapshot"), 0)).as_py())}
             # capability degraded mid-run (out-of-band legacy write or a
             # mid-swap rewrite): fall through to the file-set offset
         return {"seen": [os.path.basename(f) for f in _blocks_files(self.path)]}
 
-    @staticmethod
-    def _files_at(rows: list[dict], snap: int) -> set[str] | None:
+    def _files_at(self, snap: int) -> set[str] | None:
         """Block-file basenames committed at snapshot <= snap; None when
         the manifest cannot resolve files (legacy rows)."""
-        out: set[str] = set()
-        for r in rows:
-            if int(r.get("snapshot") or 0) <= snap:
-                f = r.get("file")
-                if not f:
-                    return None
-                out.add(f)
-        return out
+        return new_files_between(self.path, -1, snap)
 
-    def _offset_files(self, off: dict, rows: list[dict] | None) -> set[str]:
+    def _offset_files(self, off: dict) -> set[str]:
         snap = int(off.get("snap", -1))
-        if snap >= 0 and rows is not None:
-            files = self._files_at(rows, snap)
+        if snap >= 0:
+            files = self._files_at(snap)
             if files is not None:
                 return files
             if "seen" not in off:
@@ -426,11 +439,22 @@ class SparrowIPCStreamReader(DataSourceStreamReader):
         return set(off.get("seen", []))
 
     def partitions(self, start: dict, end: dict):
-        # ONE manifest read resolves both offsets (per micro-batch with
-        # new data; latestOffset itself stays cursor-O(1))
-        need_rows = int(start.get("snap", -1)) >= 0 or int(end.get("snap", -1)) >= 0
-        rows = _read_manifest_rows(self.path) if need_rows else None
-        new = sorted(self._offset_files(end, rows) - self._offset_files(start, rows))
+        s_snap, e_snap = int(start.get("snap", -1)), int(end.get("snap", -1))
+        if s_snap >= 0 and e_snap >= 0:
+            # snap→snap fast path: ONE snapshot-range segment read —
+            # segments whose footer stats are disjoint from (start, end]
+            # are skipped without reading data pages, so a trigger over a
+            # 10^7-part table reads only the segments its new snapshots
+            # live in (the Iceberg manifest-list pruning analog)
+            new = new_files_between(self.path, s_snap, e_snap)
+            if new is None:
+                raise ValueError(
+                    f"snapshot range ({s_snap}, {e_snap}] can no longer be "
+                    "resolved to a file set (manifest rows without file "
+                    "mapping); restart the stream to re-probe capability")
+            new = sorted(new)
+        else:
+            new = sorted(self._offset_files(end) - self._offset_files(start))
         if not new:
             return []
         # dictionary snapshot rides in the partition: delta rows appended
@@ -526,7 +550,8 @@ def _encode_to_staged(batches, part_id: int, attempt: int,
 def _publish(path: str, staging: str, messages, overwrite: bool,
              marker: str | None = None,
              schema_json: str | None = None,
-             batch_tag: str | None = None) -> None:
+             batch_tag: str | None = None,
+             lease=None) -> None:
     """Move staged files into blocks/, append ONE manifest segment built
     from the commit messages (O(batch) — the committed history is never
     rewritten), seed an empty dictionaries table.
@@ -540,13 +565,34 @@ def _publish(path: str, staging: str, messages, overwrite: bool,
     records completion.  A crash mid-publish can expose a partial batch
     to readers until the restarted query replays it to completion; it can
     never duplicate rows.  Parquet dataset discovery (pyarrow and Spark
-    both) ignores ``_``-prefixed files."""
+    both) ignores ``_``-prefixed files.
+
+    Commits run under the table's commit lease: the caller passes its held
+    ``lease`` (batch writer holds it from init so part offsets are minted
+    under it too); with ``lease=None`` (stream writer: offsets are
+    attempt-id-scoped) the publish acquires one for its own duration."""
+    from sparrow_ipc_spark.sources.manifest import acquire_commit_lease
+
+    own_lease = lease is None
+    if own_lease:
+        lease = acquire_commit_lease(path)
+    try:
+        _publish_under_lease(path, staging, messages, overwrite, marker,
+                             schema_json, batch_tag, lease)
+    finally:
+        if own_lease:
+            lease.release()
+
+
+def _publish_under_lease(path, staging, messages, overwrite, marker,
+                         schema_json, batch_tag, lease) -> None:
     import shutil
 
     blocks_dir = os.path.join(path, "blocks")
     if overwrite:
         for sub in ("blocks", "dictionaries", "manifest"):
             shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+        lease.recreate()  # the clear took the lease file with it
     os.makedirs(blocks_dir, exist_ok=True)
     messages = list(messages)
     if batch_tag is not None:  # deterministic order → deterministic names
@@ -591,6 +637,7 @@ def _publish(path: str, staging: str, messages, overwrite: bool,
         for m, name in zip(messages, names)
     ]
     seg_name = f"seg-{batch_tag}.parquet" if batch_tag is not None else None
+    lease.assert_owned()  # a stolen lease must abort before publishing
     write_segment(path, man_rows, seg_name)
     # cursor BEFORE the marker: a crash between marker and cursor would
     # leave a permanently-stale cursor on a replay-skipped batch (stale
@@ -648,6 +695,13 @@ class SparrowIPCWriter(DataSourceArrowWriter):
         self.fields = fields_of_struct(schema)
         self.batch_rows = int(options.get("batch_rows", 65536))
         self.staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex[:12]}")
+        # the write job holds the commit lease from init (where part
+        # offsets are minted from committed state) through commit/abort —
+        # two concurrent DS writers on one table serialize instead of
+        # baking colliding part ids into their block rows
+        from sparrow_ipc_spark.sources.manifest import acquire_commit_lease
+
+        self._lease = acquire_commit_lease(self.path)
         self.part_offset = 0
         if not overwrite:
             # cursor fast path (O(1)); full manifest read fallback — real
@@ -666,13 +720,17 @@ class SparrowIPCWriter(DataSourceArrowWriter):
                                  self.batch_rows, self.staging)
 
     def commit(self, messages) -> None:
-        _publish(self.path, self.staging, list(messages), self.overwrite,
-                 schema_json=self.schema_json)
+        try:
+            _publish(self.path, self.staging, list(messages), self.overwrite,
+                     schema_json=self.schema_json, lease=self._lease)
+        finally:
+            self._lease.release()
 
     def abort(self, messages) -> None:
         import shutil
 
         shutil.rmtree(self.staging, ignore_errors=True)
+        self._lease.release()
 
 
 class SparrowIPCStreamWriter(DataSourceStreamArrowWriter):

@@ -22,15 +22,19 @@ Layout of ``<table>/manifest/``:
   the directory.  Missing/stale cursor degrades to a full segment read.
 * ``_batch_<id>``     — streaming exactly-once markers (unchanged).
 
-Concurrency contract: ONE writer per table at a time (crash-and-retry of
-that writer is fully handled; two LIVE writers are not — both would read
-the same committed state and mint colliding part ids/snapshots).  This is
-the same stance as Iceberg without a catalog: multi-writer needs a
-compare-and-swap commit arbiter, which a plain filesystem cannot provide;
-pointing a catalog/lock service at ``write_segment``/``write_cursor`` is
-the single integration point.  Readers are always safe concurrently with
-the one writer (segments appear atomically; a half-published batch is
-exposed at worst, never duplicated).
+Concurrency contract: ONE COMMITTER at a time, ENFORCED by
+:class:`CommitLease` (``manifest/_commit.lease``): every commit path —
+``write_encoded``, the DataSource batch writer, the foreachBatch
+``StreamingEncoder``, compaction — reads committed state and publishes
+its segment + cursor under the lease, so two live writers serialize
+instead of minting colliding part ids/snapshots.  A crashed holder's
+lease expires and is taken over (one-winner rename); a long job that
+loses its lease fails loudly at ``assert_owned`` before publishing,
+never after.  The lease is the plain-filesystem stand-in for a catalog
+CAS (Iceberg's commit arbiter) and the one place a real lock service
+plugs in.  Readers are always safe concurrently with the committer
+(segments appear atomically; a half-published batch is exposed at worst,
+never duplicated).
 
 Crash contract: a segment file appears atomically (tmp + ``os.replace``).
 Stream commits use DETERMINISTIC segment names (``seg-batch-<id>.parquet``)
@@ -124,36 +128,209 @@ def _legacy_files(d: str) -> list[str]:
                   if f.endswith(".parquet") and not f.startswith(("seg-", "_", ".")))
 
 
-def read_manifest_rows(path: str) -> list[dict]:
-    """All committed manifest rows (segments + legacy files), deduped on
-    (part_id, file) keeping the highest snapshot.  [] when no manifest.
-
-    A crash between the legacy protocol's two renames can leave only
-    ``manifest.old`` — fall back to it.  Real read errors PROPAGATE:
-    silently treating a broken manifest as empty would restart part ids at
-    0 and overwrite committed block files."""
-    import pyarrow.parquet as pq
-
+def _manifest_read_dir(path: str) -> tuple[str, list[str]]:
+    """(dir, files) holding the committed manifest — the live manifest/
+    dir, or the legacy-crash ``manifest.old`` fallback (a crash between
+    the legacy protocol's two renames can leave only the latter)."""
     d = man_dir(path)
     files = _segment_files(d) + _legacy_files(d)
     if not files:
         old = d + ".old"
-        if not os.path.isdir(old):
-            return []
-        d, files = old, _legacy_files(old)
-        if not files:
-            return []
-    rows: list[dict] = []
+        if os.path.isdir(old):
+            legacy = _legacy_files(old)
+            if legacy:
+                return old, legacy
+    return d, files
+
+
+def manifest_state_token(path: str) -> tuple:
+    """Cheap change-detection token for the committed manifest: one
+    directory scan yielding (name, size, mtime_ns) per manifest file.
+    Any commit, merge, migration, or deterministic-segment overwrite
+    changes it; block-file churn does not (planning re-checks disk
+    separately).  O(segments) stat calls — segments are bounded by the
+    auto-merge limit, never by table size."""
+    d, files = _manifest_read_dir(path)
+    tok = []
     for f in files:
-        rows.extend(pq.read_table(os.path.join(d, f)).to_pylist())
-    best: dict[tuple, dict] = {}
+        try:
+            st = os.stat(os.path.join(d, f))
+            tok.append((f, st.st_size, st.st_mtime_ns))
+        except FileNotFoundError:  # racing a merge: token simply differs
+            tok.append((f, -1, -1))
+    return tuple(tok)
+
+
+# Planning cache: (path, key) -> (state token, value).  Lives for the
+# process (driver or the persistent Python DS worker); entries invalidate
+# on ANY manifest change via the token, so repeated query planning over an
+# unchanged table costs one directory scan — not an O(total parts) read.
+_plan_cache: dict[tuple, tuple] = {}
+_PLAN_CACHE_MAX = 32
+
+
+def cached_plan(path: str, key, build):
+    """Memoize ``build()`` keyed on the manifest state token."""
+    tok = manifest_state_token(path)
+    ck = (os.path.abspath(path), key)
+    ent = _plan_cache.get(ck)
+    if ent is not None and ent[0] == tok:
+        return ent[1]
+    val = build()
+    if len(_plan_cache) >= _PLAN_CACHE_MAX:
+        _plan_cache.pop(next(iter(_plan_cache)))
+    _plan_cache[ck] = (tok, val)
+    return val
+
+
+_DEDUPE_COLS = ("part_id", "file", "snapshot")
+
+
+def read_manifest_table(path: str, columns: list[str] | None = None):
+    """Committed manifest rows as ONE pyarrow table, column-pruned and
+    deduped on (part_id, file) keeping the highest snapshot.
+
+    This is the scale-shaped read: planning callers ask for the 3-4
+    columns they need, so a 10^7-part manifest costs tens of MB of Arrow
+    columns — never O(parts) Python dicts of every column (codec_summary
+    alone is a JSON string per row).  Results are memoized on the manifest
+    state token, so repeat planning over an unchanged table reads nothing.
+    Real read errors PROPAGATE: silently treating a broken manifest as
+    empty would restart part ids at 0 and overwrite committed blocks."""
+    cols = None if columns is None else sorted(set(columns) | set(_DEDUPE_COLS))
+    return cached_plan(path, ("table", tuple(cols) if cols else None),
+                       lambda: _read_manifest_table_uncached(path, cols))
+
+
+def _read_manifest_table_uncached(path: str, cols: list[str] | None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = manifest_pa_schema()
+    d, files = _manifest_read_dir(path)
+    if not files:
+        return schema.empty_table() if cols is None else (
+            schema.empty_table().select(cols))
+    tables = []
+    for f in files:
+        p = os.path.join(d, f)
+        have = set(pq.read_schema(p).names)
+        want = [c for c in (cols or schema.names) if c in have]
+        t = pq.read_table(p, columns=want)
+        # legacy segments may predate a column: add it as nulls
+        for c in (cols or schema.names):
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(t.num_rows,
+                                                schema.field(c).type))
+        tables.append(t.select(cols or schema.names))
+    t = pa.concat_tables(tables, promote_options="permissive")
+    if len(tables) > 1 and t.num_rows:
+        t = _dedupe_manifest(t)
+    return t
+
+
+def _dedupe_manifest(t):
+    """Drop transient duplicate (part_id, file) rows (merge-crash windows,
+    replayed deterministic segments), keeping the highest snapshot —
+    vectorized via pandas, and skipped entirely on the no-duplicate common
+    case."""
+    import pyarrow as pa
+
+    df = t.select(list(_DEDUPE_COLS)).to_pandas()
+    dup = df.duplicated(["part_id", "file"])
+    if not dup.any():
+        return t
+    keep = (df.assign(snapshot=df["snapshot"].fillna(0))
+            .sort_values("snapshot", kind="stable")
+            .drop_duplicates(["part_id", "file"], keep="last").index)
+    return t.take(pa.array(sorted(keep)))
+
+
+def read_manifest_rows(path: str) -> list[dict]:
+    """All committed manifest rows as Python dicts — the WRITE-SIDE view
+    (resume, compaction, vacuum all need every column).  Planning paths
+    must use :func:`read_manifest_table` with a column list instead; at
+    10^7 parts this call materializes O(parts) dicts.  [] when no
+    manifest."""
+    t = read_manifest_table(path)
+    rows = t.to_pylist()
     for r in rows:
-        r.setdefault("snapshot", 0)
-        key = (r["part_id"], r.get("file"))
-        prev = best.get(key)
-        if prev is None or int(r["snapshot"] or 0) > int(prev["snapshot"] or 0):
-            best[key] = r
-    return list(best.values())
+        if r.get("snapshot") is None:
+            r["snapshot"] = 0
+    return rows
+
+
+def segment_snapshot_range(seg_path: str) -> tuple[int, int] | None:
+    """(min, max) of the ``snapshot`` column from the segment's parquet
+    FOOTER statistics — no data pages read.  None when stats are absent
+    (caller must read the segment: conservative)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.read_metadata(seg_path)
+        idx = md.schema.to_arrow_schema().names.index("snapshot")
+    except (OSError, ValueError):
+        return None
+    lo = hi = None
+    for i in range(md.num_row_groups):
+        st = md.row_group(i).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return int(lo), int(hi)
+
+
+def new_files_between(path: str, start_snap: int, end_snap: int) -> set[str] | None:
+    """Block-file basenames committed in snapshot range (start, end] — the
+    streaming micro-batch planning read.  Segments whose footer-stat
+    snapshot range is disjoint from the query range are SKIPPED without
+    reading their data pages (the Iceberg manifest-list pruning analog),
+    so a trigger over a 10^7-part table reads only the segments its new
+    snapshots live in.  None = unresolvable (some in-range row lacks a
+    file mapping; caller falls back to the full-read path and its loud
+    error contract).
+
+    Equivalence with dedupe-then-filter over the full manifest: duplicate
+    (part_id, file) rows are same-snapshot by construction (a replayed
+    deterministic commit reuses its recorded snapshot; merge-crash
+    duplicates are identical rows), so filtering segments by range cannot
+    disagree with global max-snapshot dedupe."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    def build() -> set[str] | None:
+        d, files = _manifest_read_dir(path)
+        out: set[str] = set()
+        for f in files:
+            p = os.path.join(d, f)
+            rng = segment_snapshot_range(p)
+            if rng is not None and (rng[1] <= start_snap or rng[0] > end_snap):
+                continue  # disjoint: skip without reading data pages
+            have = set(pq.read_schema(p).names)
+            if "file" not in have:
+                return None  # legacy segment: cannot map files
+            cols = [c for c in ("file", "snapshot") if c in have]
+            t = pq.read_table(p, columns=cols)
+            snap = (t.column("snapshot") if "snapshot" in t.column_names
+                    else None)
+            if snap is None:
+                if start_snap < 0 <= end_snap:  # legacy rows: snapshot 0
+                    fc = t.column("file")
+                else:
+                    continue
+            else:
+                mask = pc.and_(pc.greater(pc.fill_null(snap, 0), start_snap),
+                               pc.less_equal(pc.fill_null(snap, 0), end_snap))
+                fc = pc.filter(t.column("file"), mask)
+            if fc.null_count:
+                return None
+            out.update(fc.to_pylist())
+        return out
+
+    return cached_plan(path, ("new_files", int(start_snap), int(end_snap)), build)
 
 
 def _migrate_legacy(d: str) -> None:
@@ -282,11 +459,13 @@ def committed_state(path: str) -> tuple[int, int]:
     cur = read_cursor(path)
     if cur is not None:
         return int(cur["snapshot"]), int(cur["max_part_id"])
-    rows = read_manifest_rows(path)
-    if not rows:
+    import pyarrow.compute as pc
+
+    t = read_manifest_table(path, ["part_id", "snapshot"])
+    if not t.num_rows:
         return -1, -1
-    return (max(int(r.get("snapshot") or 0) for r in rows),
-            max(int(r["part_id"]) for r in rows))
+    return (int(pc.max(pc.fill_null(t.column("snapshot"), 0)).as_py()),
+            int(pc.max(t.column("part_id")).as_py()))
 
 
 def manifest_rows_for_new_files(spark, blocks_dir: str, new_files: list[str],
@@ -338,6 +517,159 @@ def segment_commit_info(path: str, seg_name: str) -> tuple[int | None, int | Non
     if off is None and "part_id" in t.column_names:
         off = min((int(v) for v in t.column("part_id").to_pylist()), default=None)
     return off, snap
+
+
+class CommitLeaseError(RuntimeError):
+    """The commit lease was lost (stolen after expiry) or never acquired."""
+
+
+class CommitLease:
+    """Filesystem lock-lease commit arbiter — the multi-writer integration
+    point named by the concurrency contract above, now enforced.
+
+    Protocol (single-committer-at-a-time, crash-tolerant):
+
+    * acquire: O_EXCL-create ``manifest/_commit.lease`` holding
+      {owner, pid, renewed, lease_s}.  An existing UNEXPIRED lease means a
+      live committer — poll until it releases or ``timeout_s`` elapses.
+    * stale takeover: an EXPIRED lease (crashed committer) is removed via
+      ``os.rename`` to a unique stale name — rename of one source path
+      succeeds for exactly ONE contender (the others get FileNotFoundError
+      and re-poll), so two takers can never both think they cleared the
+      way; the winner still races fresh acquirers through O_EXCL.
+    * renew: rewrite the lease atomically with a fresh timestamp —
+      long-running jobs renew before committing; ``assert_owned`` right
+      before a publish turns a stolen lease into a loud
+      :class:`CommitLeaseError` instead of a silent collision.
+    * release: remove the lease iff still owned (a post-expiry thief keeps
+      its own lease; release never deletes someone else's).
+
+    The lease file is ``_``-prefixed: invisible to parquet dataset
+    discovery (pyarrow and Spark both).  This is the plain-filesystem
+    stand-in for a catalog CAS (Iceberg's commit arbiter); pointing a real
+    lock service here is a one-class swap."""
+
+    FILE = "_commit.lease"
+
+    def __init__(self, path: str, owner: str, lease_s: float):
+        self.path = path
+        self.owner = owner
+        self.lease_s = float(lease_s)
+
+    @property
+    def _file(self) -> str:
+        return os.path.join(man_dir(self.path), self.FILE)
+
+    def _read(self) -> dict | None:
+        try:
+            with open(self._file) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _payload(self) -> dict:
+        import time
+
+        return {"owner": self.owner, "pid": os.getpid(),
+                "renewed": time.time(), "lease_s": self.lease_s}
+
+    def renew(self) -> None:
+        """Refresh the lease timestamp; raises :class:`CommitLeaseError`
+        if the lease was stolen (this writer must NOT commit)."""
+        cur = self._read()
+        if cur is None or cur.get("owner") != self.owner:
+            raise CommitLeaseError(
+                f"commit lease for {self.path} lost (held by "
+                f"{cur.get('owner') if cur else 'nobody'}); this writer's "
+                "lease expired and was taken over — its commit would race")
+        tmp = self._file + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._payload(), f)
+        os.replace(tmp, self._file)
+
+    assert_owned = renew  # same check + refresh, intent-named for commits
+
+    def recreate(self) -> None:
+        """Re-materialize the lease file after an OVERWRITE commit cleared
+        the manifest dir (taking the lease file with it).  Only valid for
+        the holder that performed the clear — anyone else acquiring in the
+        clear-to-recreate window loses to the O_EXCL-free rewrite here,
+        which is acceptable exactly because overwrite is already
+        destructive to every concurrent writer by definition."""
+        os.makedirs(man_dir(self.path), exist_ok=True)
+        tmp = self._file + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._payload(), f)
+        os.replace(tmp, self._file)
+
+    def release(self) -> None:
+        cur = self._read()
+        if cur is not None and cur.get("owner") == self.owner:
+            try:
+                os.remove(self._file)
+            except FileNotFoundError:
+                pass
+
+    def __enter__(self) -> "CommitLease":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+def acquire_commit_lease(path: str, lease_s: float = 120.0,
+                         timeout_s: float = 300.0,
+                         poll_s: float = 0.05) -> CommitLease:
+    """Block until this process holds the table's commit lease (see
+    :class:`CommitLease`).  Raises TimeoutError when a live committer
+    holds it past ``timeout_s``.  ``lease_s`` < ``timeout_s`` by default
+    so a crashed holder is taken over before waiters give up.  Expiry
+    only bites under contention: an uncontended job that outlives its
+    lease still renews fine (the file keeps its owner token); a contended
+    takeover makes the loser's ``assert_owned`` fail loudly before it can
+    publish."""
+    import time
+
+    d = man_dir(path)
+    os.makedirs(d, exist_ok=True)
+    lease = CommitLease(path, f"{os.getpid()}-{uuid.uuid4().hex[:12]}", lease_s)
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lease._file, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            cur = lease._read()
+            if cur is not None:
+                expired = time.time() > float(cur.get("renewed", 0)) + float(
+                    cur.get("lease_s", lease_s))
+            else:
+                try:
+                    # unparseable lease (writer died between O_EXCL create
+                    # and payload write): stale once its mtime ages past
+                    # the default lease — without this the empty file
+                    # deadlocks every future committer
+                    mt = os.stat(lease._file).st_mtime
+                except FileNotFoundError:
+                    continue  # holder released between create-fail and read
+                expired = time.time() > mt + lease_s
+            if expired:
+                # one-winner takeover: rename succeeds for exactly one
+                stale = lease._file + f".stale-{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(lease._file, stale)
+                    os.remove(stale)
+                except FileNotFoundError:
+                    pass  # another contender won the rename
+                continue  # retry the O_EXCL create
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"commit lease for {path} held by "
+                    f"{cur.get('owner') if cur else '?'} past {timeout_s}s")
+            time.sleep(poll_s)
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump(lease._payload(), f)
+        return lease
 
 
 def row_group_counts(paths: list[str], max_workers: int = 16) -> dict[str, int]:

@@ -134,6 +134,19 @@ class StreamingEncoder:
         }
 
     def process_batch(self, df: DataFrame, batch_id: int) -> None:
+        from sparrow_ipc_spark.sources.manifest import acquire_commit_lease
+
+        # each micro-batch commits under the table lease: part offsets and
+        # snapshots derive from committed state, so a concurrent batch
+        # writer on the same table serializes instead of colliding
+        lease = acquire_commit_lease(self.out_dir)
+        try:
+            self._process_batch_under_lease(df, batch_id, lease)
+        finally:
+            lease.release()
+
+    def _process_batch_under_lease(self, df: DataFrame, batch_id: int,
+                                   lease) -> None:
         dict_rows = self._update_dictionaries(df)
         if dict_rows:
             # dictionaries land before the blocks that reference them
@@ -177,6 +190,7 @@ class StreamingEncoder:
             # min(part_id) under-reports it when the lowest hash partition
             # of this batch encoded zero rows
             r["part_offset"] = part_offset
+        lease.assert_owned()  # a stolen lease must abort before publishing
         M.write_segment(self.out_dir, man_rows, seg_name)
         new_max = max((int(r["part_id"]) for r in man_rows), default=prev_max)
         M.write_cursor(self.out_dir, max(prev_snap, snap), max(prev_max, new_max))
