@@ -914,12 +914,19 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat top-10 probing ALL 16 inverted lists: the coarse-quantizer
     assignment + probe + re-rank machinery is then provably exact, so the
     exact-cosine SQL is its oracle (partial-probe recall is pytest-covered,
-    tests/test_functions.py::test_ivf_topk)."""
-    from sparrow_ipc_spark.functions.similarity import ivf_topk
+    tests/test_functions.py::test_ivf_topk and
+    ::test_ivf_distributed_skewed_recall).  Centroids come from the
+    DISTRIBUTED Lloyd trainer (hash-spread init + mapInPandas partial
+    sums — the 10^9-vector path; the bounded driver sample trainer remains
+    for small tables), so the oracle gate exercises the scale trainer."""
+    from sparrow_ipc_spark.functions.similarity import (
+        ivf_centroids_distributed, ivf_topk)
 
     qv, qid = _query_vector(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") != qid)
-    return _round6(ivf_topk(emb, qv, k=10, n_centroids=16, n_probe=16))
+    cents = ivf_centroids_distributed(emb, n_centroids=16, iters=2)
+    return _round6(ivf_topk(emb, qv, k=10, n_centroids=16, n_probe=16,
+                            centroids=cents))
 
 
 def _embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -110,6 +110,98 @@ def ivf_centroids(df: DataFrame, n_centroids: int = 16, seed: int = 42,
     return c
 
 
+def ivf_centroids_distributed(df: DataFrame, n_centroids: int = 16, seed: int = 42,
+                              iters: int = 3, vec_col: str = "embedding",
+                              id_col: str = "vec_id", init_sample: int = 1024,
+                              fraction: float | None = None) -> np.ndarray:
+    """Distributed Lloyd k-means over the FULL table (scale path for
+    :func:`ivf_centroids`, whose bounded id-ordered driver sample
+    under-represents clusters whose rows don't appear among the lowest
+    ids — at 10^9+ vectors the sample-trained centroids skew and probed
+    recall degrades).
+
+    * **Init** — a hash-spread sample: ``orderBy(xxhash64(id, seed))
+      limit init_sample`` (a distributed TakeOrdered, deterministic,
+      bounded) pools rows from *everywhere* in the table regardless of id
+      locality, then greedy farthest-point seeding picks ``n_centroids``
+      spread starts (k-means‖-flavored: spread-out init from a
+      distributed sample instead of first-k ids).
+    * **Each Lloyd round** — centroids ride into a ``mapInPandas`` pass as
+      a plain numpy closure (broadcast-sized: k×dim floats); every Arrow
+      batch computes assignments and per-cluster partial (count, Σvec)
+      fully vectorized (no per-row Python).  Partials are reduced IN
+      SPARK: the count is packed as element 0 of the partial-sum array,
+      one ``posexplode`` + ``groupBy(cluster, j).sum`` bounds the shuffle
+      at k×(dim+1) rows, and the driver collects exactly k×(dim+1)
+      doubles per round — never rows of the table.
+    * Empty clusters keep their previous centroid.  ``fraction``
+      optionally trains each round on a deterministic Bernoulli sample of
+      the table (the 100 TB knob: one pass over ~0.1% is plenty to place
+      16-4096 coarse centroids).
+
+    Full-probe ``ivf_topk`` is training-independent (any partition of the
+    lists reproduces the exact scan), so correctness oracles hold under
+    either trainer; this one exists for probed-recall quality at scale.
+    """
+    import pandas as pd
+
+    samp = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col))
+        .limit(int(init_sample))
+        .collect()
+    )
+    x = np.asarray([list(r[1]) for r in samp], dtype=np.float64)
+    if len(x) == 0:
+        return np.zeros((0, 0))
+    k = min(n_centroids, len(x))
+    # greedy farthest-point: spread seeds even when the sample is skewed
+    chosen = [0]
+    d_min = ((x - x[0]) ** 2).sum(-1)
+    while len(chosen) < k:
+        nxt = int(d_min.argmax())
+        chosen.append(nxt)
+        d_min = np.minimum(d_min, ((x - x[nxt]) ** 2).sum(-1))
+    c = x[chosen].copy()
+    dim = c.shape[1]
+
+    train = df.sample(fraction=fraction, seed=seed) if fraction else df
+    train = train.select(vec_col)
+
+    for _ in range(max(0, iters)):
+        cc = c.copy()  # closure snapshot for this round
+
+        def partials(batches, _c=cc):
+            csq = (_c ** 2).sum(-1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray([np.asarray(v, dtype=np.float64)
+                                for v in pdf[vec_col]])
+                # ||x-c||² = ||x||² − 2·x·cᵀ + ||c||²  (argmin drops ||x||²)
+                a = (X @ _c.T * -2.0 + csq[None]).argmin(1)
+                out = []
+                for kk in np.unique(a):
+                    m = a == kk
+                    # element 0 = count, 1.. = Σvec → one reduce for both
+                    out.append((int(kk),
+                                [float(m.sum())] + X[m].sum(0).tolist()))
+                yield pd.DataFrame(out, columns=["cluster", "s"])
+
+        red = (
+            train.mapInPandas(partials, "cluster int, s array<double>")
+            .select("cluster", F.posexplode("s").alias("j", "v"))
+            .groupBy("cluster", "j").agg(F.sum("v").alias("v"))
+            .collect()
+        )
+        sums = np.zeros((k, dim + 1))
+        for r in red:
+            sums[r["cluster"], r["j"]] = r["v"]
+        nonempty = sums[:, 0] > 0
+        c[nonempty] = sums[nonempty, 1:] / sums[nonempty, :1]
+    return c
+
+
 def _sq_dist(v, centroid: np.ndarray):
     plane = F.array(*[F.lit(float(t)) for t in centroid])
     return F.aggregate(

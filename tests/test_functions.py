@@ -163,6 +163,45 @@ def test_ivf_topk(vectors):
     assert near and near[0]["vec_id"] == 1
 
 
+def test_ivf_distributed_skewed_recall(spark):
+    """Skewed-cluster fixture where the id-ordered driver sample of
+    ``ivf_centroids`` sees ONLY the dominant cluster (all low ids), so
+    partial-probe recall for a query in a minority cluster collapses; the
+    distributed trainer's hash-spread init + full-table Lloyd rounds must
+    recover it (recall ≥ sample trainer, and ≥0.9 absolute)."""
+    rng = np.random.default_rng(11)
+    mus = {"a": np.full(8, 0.0), "b": np.full(8, 20.0), "c": np.full(8, -20.0)}
+    rows = []
+    for i in range(180):  # dominant cluster owns every id < 180
+        rows.append((i, (mus["a"] + rng.standard_normal(8)).tolist()))
+    for i in range(180, 198):
+        rows.append((i, (mus["b"] + rng.standard_normal(8)).tolist()))
+    for i in range(198, 204):
+        rows.append((i, (mus["c"] + rng.standard_normal(8)).tolist()))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vec]) for i, vec in rows],
+        "vec_id long, embedding array<float>").cache()
+    q = (mus["c"] + 0.1).tolist()
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=5).collect()]
+
+    def recall(centroids):
+        got = [r["vec_id"] for r in similarity.ivf_topk(
+            df, q, k=5, n_probe=1, centroids=centroids).collect()]
+        return len(set(got) & set(exact)) / len(exact)
+
+    c_sample = similarity.ivf_centroids(df, n_centroids=3, sample=128)
+    c_dist = similarity.ivf_centroids_distributed(
+        df, n_centroids=3, init_sample=64, iters=2)
+    # the sample trainer never saw clusters b/c: all three centroids sit in a
+    assert recall(c_dist) >= recall(c_sample)
+    assert recall(c_dist) >= 0.9
+    # full-probe remains exact regardless of trainer
+    full = [r["vec_id"] for r in similarity.ivf_topk(
+        df, q, k=5, n_probe=3, centroids=c_dist).collect()]
+    assert full == exact
+    df.unpersist()
+
+
 def test_embedding_dedup(vectors):
     pairs = {(r["id_a"], r["id_b"]) for r in
              similarity.pairwise_cosine_dedup(vectors, threshold=0.98, n_planes=6).collect()}
