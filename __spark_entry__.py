@@ -841,7 +841,10 @@ def _codec_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             int(rep["rows_dec"]), int(sizes["blocks"]), int(sizes["raw"]),
             int(sizes["enc"]), bool(rep["all_columns_identical"]),
-            int(rep["text_mismatches"]),
+            # None = keyed text check skipped (can't happen on this
+            # transcript-shaped data, but surface it as -1 ≠ oracle's 0
+            # rather than TypeError if it ever did)
+            int(-1 if rep["text_mismatches"] is None else rep["text_mismatches"]),
         )
     ]
     return spark.createDataFrame(row, schema)

@@ -88,7 +88,10 @@ def main(argv: list[str] | None = None) -> int:
 
         rep = roundtrip_report(spark.read.parquet(args.source), decode_dir(spark, args.encoded))
         print(json.dumps(rep))
-        return 0 if rep["all_columns_identical"] and rep["text_mismatches"] == 0 else 1
+        # text_mismatches is None when the keyed text check was skipped
+        # (generic schema) — that's not a failure; every column was still
+        # bit-compared by all_columns_identical
+        return 0 if rep["all_columns_identical"] and rep["text_mismatches"] in (0, None) else 1
     elif args.cmd == "compact":
         from sparrow_ipc_spark.operators.compact import compact_blocks
 

@@ -49,6 +49,30 @@ def compact_blocks(
     import json as _json
 
     from sparrow_ipc_spark.operators.encode_job import load_schema_sidecar
+    from sparrow_ipc_spark.sources.manifest import acquire_commit_lease
+
+    # the lease is held for the WHOLE compaction — from the first read of
+    # block state through the swap — not just around the swap: the staged
+    # rewrite and the minted part_offset are snapshots of committed state,
+    # and an append committed mid-staging would be silently destroyed by a
+    # swap based on a stale snapshot.  Compaction can run for minutes, so
+    # the heartbeat keeps the lease fresh; concurrent appenders simply
+    # queue on it (offline maintenance vs. ingest — the queueing is the
+    # design, a catalog CAS would force the same serialization).
+    lease = acquire_commit_lease(out_dir)
+    lease.start_heartbeat()
+    try:
+        return _compact_under_lease(spark, out_dir, small_rows, target_rows,
+                                    schema, dict_cols, lease)
+    finally:
+        lease.release()
+
+
+def _compact_under_lease(spark, out_dir, small_rows, target_rows, schema,
+                         dict_cols, lease) -> dict:
+    import json as _json
+
+    from sparrow_ipc_spark.operators.encode_job import load_schema_sidecar
 
     if schema is None:
         schema = load_schema_sidecar(out_dir) or TRANSCRIPTS_SCHEMA
@@ -97,22 +121,17 @@ def compact_blocks(
     combined = keep.unionByName(new_blocks)
 
     # parquet dirs are immutable while read: stage the rewrite, then swap.
-    # The swap + manifest rewrite run under the table's commit lease — a
-    # concurrent appender racing the compaction swap would otherwise land
-    # block files into the dir being renamed away.
-    from sparrow_ipc_spark.sources.manifest import acquire_commit_lease
-
+    # The caller's lease has been held since before the first state read,
+    # so no append can have committed into the dir being renamed away;
+    # assert it right before the destructive swap all the same.
     tmp = f"{out_dir}/blocks_compact_{uuid.uuid4().hex[:8]}"
     combined.write.mode("overwrite").parquet(tmp)
-    lease = acquire_commit_lease(out_dir)
-    try:
-        old = f"{out_dir}/blocks_old_{uuid.uuid4().hex[:8]}"
-        os.rename(f"{out_dir}/blocks", old)
-        os.rename(tmp, f"{out_dir}/blocks")
-        shutil.rmtree(old, ignore_errors=True)
-        return _finish_compact(spark, out_dir, before, n_small, rows_moved)
-    finally:
-        lease.release()
+    lease.assert_owned()
+    old = f"{out_dir}/blocks_old_{uuid.uuid4().hex[:8]}"
+    os.rename(f"{out_dir}/blocks", old)
+    os.rename(tmp, f"{out_dir}/blocks")
+    shutil.rmtree(old, ignore_errors=True)
+    return _finish_compact(spark, out_dir, before, n_small, rows_moved)
 
 
 def _finish_compact(spark: SparkSession, out_dir: str, before: int,

@@ -597,6 +597,9 @@ def write_encoded(
 
     out_dir = require_local_dir(out_dir)
     lease = acquire_commit_lease(out_dir)
+    # a multi-minute encode must not lose its lease merely for being slow:
+    # heartbeat renewals keep it fresh, so expiry only ever means a crash
+    lease.start_heartbeat()
     try:
         return _write_encoded_under_lease(
             spark, df, out_dir, n_parts, dict_cols, salt_span, resume,
@@ -627,35 +630,24 @@ def _write_encoded_under_lease(
     prev_dicts: list[dict] | None = None
     prev_snapshots: dict[int, int] = {}  # part_id → snapshot that committed it
     this_snapshot = 0
-    committed = _os.path.isdir(f"{out_dir}/manifest")
+    # committed = actual manifest CONTENT, never directory existence —
+    # acquire_commit_lease pre-creates manifest/ to host the lease file,
+    # so isdir(manifest) is true even for a brand-new table (which made
+    # create-or-append crash reading nonexistent dictionaries)
+    from sparrow_ipc_spark.sources.manifest import (
+        has_commits, read_manifest_rows, vacuum_orphan_blocks)
+
+    committed = has_commits(out_dir)
     prev_committed_rows: list[dict] = []
     if (resume or append) and committed:
         # NO broad except here: a readable-manifest-but-broken-dictionaries
         # dir is corruption and must raise — swallowing it used to fall
         # back to append mode over a stale skip set and silently duplicate
         # every committed row
-        from sparrow_ipc_spark.sources.manifest import read_manifest_rows
-
         prev_committed_rows = read_manifest_rows(out_dir)
-        # vacuum orphan block files from a crashed prior attempt: the
-        # manifest is the commit record, so an unmanifested parquet under
-        # blocks/ is uncommitted garbage — left in place it would
-        # (a) duplicate the retry's rows on decode and (b) permanently
-        # fail the manifest-vs-disk planning check, degrading every read
-        # to footer fallback.  Only possible when every committed row
-        # records its physical file (legacy rows cannot map files).
-        if prev_committed_rows and all(r.get("file") for r in prev_committed_rows):
-            committed_files = {r["file"] for r in prev_committed_rows}
-            bd = f"{out_dir}/blocks"
-            disk = ({f for f in _os.listdir(bd) if f.endswith(".parquet")}
-                    if _os.path.isdir(bd) else set())
-            # only vacuum when the committed mapping is CONSISTENT with
-            # disk (every manifested file present): a hand-rewritten or
-            # foreign-tool dir has stale file names, and deleting by a
-            # stale map would destroy committed data
-            if committed_files <= disk:
-                for f in disk - committed_files:
-                    _os.remove(_os.path.join(bd, f))
+        # crashed prior attempt's unmanifested block files: shared guarded
+        # vacuum (see manifest.vacuum_orphan_blocks for the safety contract)
+        vacuum_orphan_blocks(out_dir, prev_committed_rows)
         part_ids = {int(r["part_id"]) for r in prev_committed_rows}
         prev_snapshots = {
             int(r["part_id"]): int(r.get("snapshot", 0) or 0)
@@ -727,8 +719,10 @@ def _write_encoded_under_lease(
         # the fresh commit — clear them along with the old blocks
         import shutil as _shutil
 
+        lease.stop_heartbeat()  # no renew may race the clear-recreate window
         _shutil.rmtree(M.man_dir(out_dir), ignore_errors=True)
         lease.recreate()  # the clear took the lease file with it
+        lease.start_heartbeat()
     blocks_df.write.mode(mode).parquet(blocks_dir)
     # O(batch) commit: manifest rows are derived from the NEWLY-written
     # block files only and published as ONE append-only manifest segment —

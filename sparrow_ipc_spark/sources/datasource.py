@@ -590,9 +590,11 @@ def _publish_under_lease(path, staging, messages, overwrite, marker,
 
     blocks_dir = os.path.join(path, "blocks")
     if overwrite:
+        lease.stop_heartbeat()  # no renew may race the clear-recreate window
         for sub in ("blocks", "dictionaries", "manifest"):
             shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
         lease.recreate()  # the clear took the lease file with it
+        lease.start_heartbeat()
     os.makedirs(blocks_dir, exist_ok=True)
     messages = list(messages)
     if batch_tag is not None:  # deterministic order → deterministic names
@@ -702,6 +704,9 @@ class SparrowIPCWriter(DataSourceArrowWriter):
         from sparrow_ipc_spark.sources.manifest import acquire_commit_lease
 
         self._lease = acquire_commit_lease(self.path)
+        # the Spark write job between init and commit() can run for
+        # minutes: heartbeat renewals keep the lease fresh throughout
+        self._lease.start_heartbeat()
         self.part_offset = 0
         if not overwrite:
             # cursor fast path (O(1)); full manifest read fallback — real

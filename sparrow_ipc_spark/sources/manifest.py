@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 
 _CURSOR = "_cursor.json"
@@ -166,20 +167,28 @@ def manifest_state_token(path: str) -> tuple:
 # on ANY manifest change via the token, so repeated query planning over an
 # unchanged table costs one directory scan — not an O(total parts) read.
 _plan_cache: dict[tuple, tuple] = {}
+_plan_cache_lock = threading.Lock()
 _PLAN_CACHE_MAX = 32
 
 
 def cached_plan(path: str, key, build):
-    """Memoize ``build()`` keyed on the manifest state token."""
+    """Memoize ``build()`` keyed on the manifest state token.  Lock-guarded:
+    concurrent driver threads (two interleaved writers both planning) must
+    not interleave the eviction's len-check/pop/insert."""
     tok = manifest_state_token(path)
     ck = (os.path.abspath(path), key)
-    ent = _plan_cache.get(ck)
-    if ent is not None and ent[0] == tok:
-        return ent[1]
+    with _plan_cache_lock:
+        ent = _plan_cache.get(ck)
+        if ent is not None and ent[0] == tok:
+            return ent[1]
     val = build()
-    if len(_plan_cache) >= _PLAN_CACHE_MAX:
-        _plan_cache.pop(next(iter(_plan_cache)))
-    _plan_cache[ck] = (tok, val)
+    with _plan_cache_lock:
+        if len(_plan_cache) >= _PLAN_CACHE_MAX:
+            try:
+                _plan_cache.pop(next(iter(_plan_cache)))
+            except (KeyError, StopIteration):
+                pass  # another thread evicted concurrently
+        _plan_cache[ck] = (tok, val)
     return val
 
 
@@ -224,7 +233,10 @@ def _read_manifest_table_uncached(path: str, cols: list[str] | None):
                                                 schema.field(c).type))
         tables.append(t.select(cols or schema.names))
     t = pa.concat_tables(tables, promote_options="permissive")
-    if len(tables) > 1 and t.num_rows:
+    # a SINGLE segment can still carry duplicates (a crash-recovery merge
+    # folds the merged file + undeleted originals into one); the no-dup
+    # fast path inside _dedupe_manifest keeps the common case cheap
+    if t.num_rows:
         t = _dedupe_manifest(t)
     return t
 
@@ -258,6 +270,45 @@ def read_manifest_rows(path: str) -> list[dict]:
         if r.get("snapshot") is None:
             r["snapshot"] = 0
     return rows
+
+
+def has_commits(path: str) -> bool:
+    """True iff the table has any committed manifest state (segment or
+    legacy manifest files).  Directory EXISTENCE is not commitment:
+    :func:`acquire_commit_lease` pre-creates ``manifest/`` to host the
+    lease file, so ``isdir(manifest)`` is true for a brand-new table."""
+    return bool(_manifest_read_dir(path)[1])
+
+
+def vacuum_orphan_blocks(path: str, committed_rows: list[dict] | None = None,
+                         blocks_dir: str | None = None) -> int:
+    """Delete unmanifested parquet files under ``blocks/`` (crashed or
+    replayed write attempts).  The manifest is the commit record, so an
+    unmanifested file is uncommitted garbage — left in place it would
+    (a) duplicate rows for the batch DataSource reader (which decodes
+    every file on disk) and (b) permanently fail the manifest-vs-disk
+    planning check, degrading every read to footer fallback.
+
+    SAFETY GUARD (shared by every caller — do not fork this logic): only
+    deletes when every committed row records its physical ``file`` AND the
+    committed file map is a subset of disk.  A hand-rewritten or
+    foreign-tool dir has stale file names, and deleting by a stale map
+    would destroy committed data.  Returns the number of files removed."""
+    rows = committed_rows if committed_rows is not None else read_manifest_rows(path)
+    if not rows or not all(r.get("file") for r in rows):
+        return 0
+    bd = blocks_dir or os.path.join(path, "blocks")
+    if not os.path.isdir(bd):
+        return 0
+    committed_files = {r["file"] for r in rows}
+    disk = {f for f in os.listdir(bd) if f.endswith(".parquet")}
+    if not committed_files <= disk:
+        return 0
+    n = 0
+    for f in disk - committed_files:
+        os.remove(os.path.join(bd, f))
+        n += 1
+    return n
 
 
 def segment_snapshot_range(seg_path: str) -> tuple[int, int] | None:
@@ -555,6 +606,19 @@ class CommitLease:
         self.path = path
         self.owner = owner
         self.lease_s = float(lease_s)
+        self._lock = threading.RLock()
+        self._lost = False
+        self._hb: threading.Thread | None = None
+        self._hb_stop = threading.Event()
+
+    # the DS writer pickles itself (lease included) to executors; thread
+    # primitives don't pickle and executors never commit, so the copy
+    # rebuilds with a fresh (idle) heartbeat state
+    def __getstate__(self) -> dict:
+        return {"path": self.path, "owner": self.owner, "lease_s": self.lease_s}
+
+    def __setstate__(self, st: dict) -> None:
+        self.__init__(st["path"], st["owner"], st["lease_s"])
 
     @property
     def _file(self) -> str:
@@ -573,21 +637,117 @@ class CommitLease:
         return {"owner": self.owner, "pid": os.getpid(),
                 "renewed": time.time(), "lease_s": self.lease_s}
 
+    def _expired(self, payload: dict, now: float) -> bool:
+        return now > float(payload.get("renewed", 0)) + float(
+            payload.get("lease_s", self.lease_s))
+
     def renew(self) -> None:
         """Refresh the lease timestamp; raises :class:`CommitLeaseError`
-        if the lease was stolen (this writer must NOT commit)."""
-        cur = self._read()
-        if cur is None or cur.get("owner") != self.owner:
-            raise CommitLeaseError(
-                f"commit lease for {self.path} lost (held by "
-                f"{cur.get('owner') if cur else 'nobody'}); this writer's "
-                "lease expired and was taken over — its commit would race")
-        tmp = self._file + f".{uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._payload(), f)
-        os.replace(tmp, self._file)
+        if the lease was stolen (this writer must NOT commit).
+
+        Thread-safe (the heartbeat thread and the committing thread both
+        call it).  While our payload is UNEXPIRED the refresh is a plain
+        atomic replace — content-verified takeover (see
+        :func:`acquire_commit_lease`) guarantees no contender removes a
+        live lease, so nothing can sit at the path but our own file.  Once
+        our payload has EXPIRED a takeover may be racing us, so the
+        refresh goes through the same one-winner claim: rename the path
+        file to a private name, verify it is still ours, and restore the
+        refreshed payload with a no-clobber ``os.link`` — losing any of
+        those steps marks the lease lost and raises."""
+        import time
+
+        with self._lock:
+            if self._lost:
+                raise CommitLeaseError(
+                    f"commit lease for {self.path} was lost earlier; "
+                    "this writer must not commit")
+            cur = self._read()
+            if cur is None or cur.get("owner") != self.owner:
+                self._lost = True
+                raise CommitLeaseError(
+                    f"commit lease for {self.path} lost (held by "
+                    f"{cur.get('owner') if cur else 'nobody'}); this writer's "
+                    "lease expired and was taken over — its commit would race")
+            if not self._expired(cur, time.time()):
+                tmp = self._file + f".{uuid.uuid4().hex[:8]}.tmp"
+                with open(tmp, "w") as f:
+                    json.dump(self._payload(), f)
+                os.replace(tmp, self._file)
+                return
+            claim = self._file + f".renew-{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(self._file, claim)
+            except FileNotFoundError:
+                self._lost = True
+                raise CommitLeaseError(
+                    f"commit lease for {self.path} lost: expired and "
+                    "removed by a takeover mid-renew")
+            try:
+                with open(claim) as f:
+                    moved = json.load(f)
+            except (OSError, ValueError):
+                moved = None
+            if moved is None or moved.get("owner") != self.owner:
+                # we displaced someone else's fresh lease: put it back
+                try:
+                    os.link(claim, self._file)
+                except FileExistsError:
+                    pass
+                os.remove(claim)
+                self._lost = True
+                raise CommitLeaseError(
+                    f"commit lease for {self.path} lost to a takeover "
+                    "(expired before renewal)")
+            tmp = self._file + f".{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(self._payload(), f)
+            try:
+                os.link(tmp, self._file)  # no-clobber restore
+            except FileExistsError:
+                os.remove(tmp)
+                os.remove(claim)
+                self._lost = True
+                raise CommitLeaseError(
+                    f"commit lease for {self.path} lost: a contender "
+                    "acquired while our expired lease was being renewed")
+            os.remove(tmp)
+            os.remove(claim)
 
     assert_owned = renew  # same check + refresh, intent-named for commits
+
+    def start_heartbeat(self, interval_s: float | None = None) -> None:
+        """Background renewal so a long-running job (a multi-minute Spark
+        encode) never loses its lease merely for being slow — expiry then
+        only ever means a crashed/hung holder.  Daemon thread; a renewal
+        that discovers the lease stolen stops the heartbeat and leaves
+        ``assert_owned`` to raise loudly in the committing thread."""
+        with self._lock:
+            if self._hb is not None:
+                return
+            iv = interval_s if interval_s is not None else max(
+                0.5, self.lease_s / 4.0)
+            self._hb_stop = threading.Event()
+
+            def run() -> None:
+                while not self._hb_stop.wait(iv):
+                    try:
+                        self.renew()
+                    except CommitLeaseError:
+                        return  # _lost is set; committer will fail loudly
+                    except OSError:
+                        continue  # transient fs hiccup: retry next tick
+
+            self._hb = threading.Thread(
+                target=run, daemon=True, name="commit-lease-heartbeat")
+            self._hb.start()
+
+    def stop_heartbeat(self) -> None:
+        hb = self._hb
+        if hb is not None:
+            self._hb_stop.set()
+            hb.join(timeout=5)
+            self._hb = None
 
     def recreate(self) -> None:
         """Re-materialize the lease file after an OVERWRITE commit cleared
@@ -595,20 +755,53 @@ class CommitLease:
         the holder that performed the clear — anyone else acquiring in the
         clear-to-recreate window loses to the O_EXCL-free rewrite here,
         which is acceptable exactly because overwrite is already
-        destructive to every concurrent writer by definition."""
-        os.makedirs(man_dir(self.path), exist_ok=True)
-        tmp = self._file + f".{uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._payload(), f)
-        os.replace(tmp, self._file)
+        destructive to every concurrent writer by definition.  Callers
+        must stop the heartbeat before clearing the dir and restart it
+        after this call (a renew against the momentarily-missing file
+        would mark the lease lost)."""
+        with self._lock:
+            os.makedirs(man_dir(self.path), exist_ok=True)
+            tmp = self._file + f".{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(self._payload(), f)
+            os.replace(tmp, self._file)
+            self._lost = False
 
     def release(self) -> None:
-        cur = self._read()
-        if cur is not None and cur.get("owner") == self.owner:
+        """Remove the lease iff still owned.  While our payload is
+        unexpired a direct remove is safe (no takeover can displace a live
+        lease); once expired, the remove goes through a claim-and-verify
+        rename so a thief's fresh lease is never deleted."""
+        import time
+
+        self.stop_heartbeat()
+        with self._lock:
+            cur = self._read()
+            if cur is None or cur.get("owner") != self.owner:
+                return
+            if not self._expired(cur, time.time()):
+                try:
+                    os.remove(self._file)
+                except FileNotFoundError:
+                    pass
+                return
+            claim = self._file + f".release-{uuid.uuid4().hex[:8]}"
             try:
-                os.remove(self._file)
+                os.rename(self._file, claim)
             except FileNotFoundError:
-                pass
+                return  # takeover already cleared it
+            try:
+                with open(claim) as f:
+                    moved = json.load(f)
+            except (OSError, ValueError):
+                moved = None
+            if moved is not None and moved.get("owner") != self.owner:
+                # displaced a thief's fresh lease: restore no-clobber
+                try:
+                    os.link(claim, self._file)
+                except FileExistsError:
+                    pass
+            os.remove(claim)
 
     def __enter__(self) -> "CommitLease":
         return self
@@ -654,12 +847,43 @@ def acquire_commit_lease(path: str, lease_s: float = 120.0,
                 expired = time.time() > mt + lease_s
             if expired:
                 # one-winner takeover: rename succeeds for exactly one
+                # contender — but the file AT the path may no longer be
+                # the one judged expired (a faster contender can have
+                # cleared it and O_EXCL-created a FRESH lease between our
+                # read and our rename), so verify the displaced content
+                # before destroying it
                 stale = lease._file + f".stale-{uuid.uuid4().hex[:8]}"
                 try:
                     os.rename(lease._file, stale)
-                    os.remove(stale)
                 except FileNotFoundError:
-                    pass  # another contender won the rename
+                    continue  # another contender won the rename
+                try:
+                    with open(stale) as f:
+                        moved = json.load(f)
+                except (OSError, ValueError):
+                    moved = None
+                now = time.time()
+                if moved is not None:
+                    moved_expired = now > float(moved.get("renewed", 0)) + \
+                        float(moved.get("lease_s", lease_s))
+                else:
+                    # unparseable: stale only once its mtime has aged past
+                    # the lease (a fresh O_EXCL file whose payload is
+                    # still being written must survive)
+                    try:
+                        moved_expired = now > os.stat(stale).st_mtime + lease_s
+                    except FileNotFoundError:
+                        moved_expired = True
+                if not moved_expired:
+                    # displaced a LIVE lease: restore it no-clobber.  If a
+                    # third contender claimed the path meanwhile, the
+                    # displaced holder's next renew/assert_owned fails
+                    # loudly — degraded liveness, never a double-commit.
+                    try:
+                        os.link(stale, lease._file)
+                    except FileExistsError:
+                        pass
+                os.remove(stale)
                 continue  # retry the O_EXCL create
             if time.monotonic() > deadline:
                 raise TimeoutError(

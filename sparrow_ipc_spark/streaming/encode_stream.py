@@ -140,6 +140,7 @@ class StreamingEncoder:
         # snapshots derive from committed state, so a concurrent batch
         # writer on the same table serializes instead of colliding
         lease = acquire_commit_lease(self.out_dir)
+        lease.start_heartbeat()  # a big replay batch can outlive the lease
         try:
             self._process_batch_under_lease(df, batch_id, lease)
         finally:
@@ -202,16 +203,10 @@ class StreamingEncoder:
             # dedupe, but the batch DataSource reader decodes every file on
             # disk — left in place they'd permanently double the batch's
             # rows there AND fail the manifest-vs-disk planning check.
-            # Same safety guard as write_encoded: only delete when every
-            # committed row maps a file and the committed map is consistent
-            # with disk (a stale map must never drive deletes).
-            committed_rows = M.read_manifest_rows(self.out_dir)
-            if committed_rows and all(r.get("file") for r in committed_rows):
-                committed_files = {r["file"] for r in committed_rows}
-                disk = {f for f in os.listdir(bd) if f.endswith(".parquet")}
-                if committed_files <= disk:
-                    for f in disk - committed_files:
-                        os.remove(os.path.join(bd, f))
+            # Shared guarded vacuum (manifest.vacuum_orphan_blocks): only
+            # deletes when every committed row maps a file and the
+            # committed map is consistent with disk.
+            M.vacuum_orphan_blocks(self.out_dir)
 
 
 def encode_stream(spark: SparkSession, stream_df: DataFrame, out_dir: str,

@@ -184,3 +184,100 @@ def test_two_interleaved_ds_writer_processes_no_collision(spark, tmp_path):
     assert len(ids) == len(set(ids))
     assert sorted({int(r["snapshot"]) for r in rows}) == [0, 1, 2]
     assert read_encoded(spark, out).count() == 800
+
+
+def test_heartbeat_keeps_short_lease_alive(tmp_path):
+    """A slow job with a heartbeat never loses its lease to a contender
+    (expiry only ever means a crashed/hung holder); after release the
+    contender acquires immediately."""
+    out = str(tmp_path / "tbl")
+    a = M.acquire_commit_lease(out, lease_s=0.3)
+    a.start_heartbeat(interval_s=0.05)
+    time.sleep(0.8)  # well past lease_s: heartbeat must have renewed
+    with pytest.raises(TimeoutError):
+        M.acquire_commit_lease(out, lease_s=0.3, timeout_s=0.8)
+    a.assert_owned()
+    a.release()
+    b = M.acquire_commit_lease(out, lease_s=0.3, timeout_s=5)
+    b.release()
+
+
+def test_takeover_never_destroys_fresh_lease(tmp_path):
+    """Two contenders racing an expired lease: content verification after
+    the one-winner rename means the loser can never remove the winner's
+    FRESH lease — at most one holder survives the storm."""
+    import threading
+
+    out = str(tmp_path / "tbl")
+    M.acquire_commit_lease(out, lease_s=0.1)  # crashed holder, never released
+    time.sleep(0.3)
+    got: list = []
+
+    def contend():
+        try:
+            lease = M.acquire_commit_lease(out, lease_s=60, timeout_s=15)
+            got.append(lease)
+        except TimeoutError:
+            pass
+
+    ts = [threading.Thread(target=contend) for _ in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(got) >= 1, "no contender ever acquired the expired lease"
+    # the commit-safety invariant: exactly ONE contender still owns at
+    # publish time (assert_owned), no matter how the takeover raced
+    owned = []
+    for lease in got:
+        try:
+            lease.assert_owned()
+            owned.append(lease)
+        except M.CommitLeaseError:
+            pass
+    assert len(owned) == 1, f"{len(owned)} contenders would publish"
+    owned[0].release()
+
+
+def test_create_or_append_on_fresh_dir(spark, tmp_path):
+    """append=True / resume=True on a brand-new path must perform the
+    initial write: the lease pre-creates manifest/, so committed-ness is
+    manifest CONTENT, never directory existence."""
+    from sparrow_ipc_spark.operators.decode_job import decode_dir
+    from sparrow_ipc_spark.operators.encode_job import write_encoded
+    from sparrow_ipc_spark.sources.transcripts import transcripts_df
+
+    df = transcripts_df(spark, n_convs=5, seed=1).cache()
+    n = df.count()
+    out = str(tmp_path / "fresh_append")
+    stats = write_encoded(spark, df, out, n_parts=2, append=True)
+    assert stats["rows"] == n
+    stats2 = write_encoded(spark, df, out, n_parts=2, append=True)
+    assert stats2["rows"] == 2 * n
+    assert decode_dir(spark, out).count() == 2 * n
+    out2 = str(tmp_path / "fresh_resume")
+    stats3 = write_encoded(spark, df, out2, n_parts=2, resume=True)
+    assert stats3["rows"] == n and stats3.get("skipped_parts", 0) == 0
+
+
+def test_vacuum_orphan_blocks_guards(tmp_path, spark):
+    """The shared vacuum helper refuses to delete when the committed map
+    is inconsistent with disk (stale map must never drive deletes)."""
+    from sparrow_ipc_spark.operators.encode_job import write_encoded
+    from sparrow_ipc_spark.sources.transcripts import transcripts_df
+
+    out = str(tmp_path / "tbl")
+    df = transcripts_df(spark, n_convs=4, seed=3)
+    write_encoded(spark, df, out, n_parts=2)
+    bd = os.path.join(out, "blocks")
+    # an orphan (unmanifested) file is vacuumed
+    orphan = os.path.join(bd, "zz-orphan.parquet")
+    committed = [f for f in os.listdir(bd) if f.endswith(".parquet")]
+    import shutil
+    shutil.copy(os.path.join(bd, committed[0]), orphan)
+    assert M.vacuum_orphan_blocks(out) == 1
+    assert not os.path.exists(orphan)
+    # a MISSING committed file makes the map inconsistent: no deletes
+    os.rename(os.path.join(bd, committed[0]), os.path.join(bd, "renamed.parquet"))
+    assert M.vacuum_orphan_blocks(out) == 0
+    assert os.path.exists(os.path.join(bd, "renamed.parquet"))

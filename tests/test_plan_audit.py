@@ -123,3 +123,35 @@ def test_simhash_near_pairs_md5_plan_shape(spark):
     plan = audit.simple_plan(simhash_near_pairs_md5(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# The 8 most expensive bench queries (BENCH_r04), pinned at their audited
+# exchange counts.  A driver-window wall that doubles while these pins hold
+# is co-tenant noise by construction — the plan cannot have grown a new
+# shuffle without failing here first (VERDICT r4 "Next round" #3).
+QUERY_EXCHANGE_PINS = {
+    "repetition_metrics": 2,
+    "minhash_lsh_pairs": 3,
+    "datasource_roundtrip": 1,
+    "simhash": 1,
+    "simhash_near_pairs": 3,
+    "decontaminate": 3,
+    "ngram_jaccard_lsh": 12,
+    "codec_roundtrip": 4,
+}
+
+
+def test_top_query_exchange_counts_pinned(spark):
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    got = {}
+    for name, pin in QUERY_EXCHANGE_PINS.items():
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        got[name] = audit.count_exchanges(df)
+        assert got[name] <= pin, (
+            f"{name}: {got[name]} shuffle exchanges > pinned {pin} — a new "
+            f"shuffle crept into a hot query; lines: {audit.shuffle_exchanges(df)}")
+    # if a plan IMPROVED, tighten the pin so it can't silently regress back
+    improved = {n: c for n, c in got.items() if c < QUERY_EXCHANGE_PINS[n]}
+    assert not improved, f"pins are stale (plans improved) — lower them: {improved}"
