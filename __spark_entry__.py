@@ -1036,10 +1036,10 @@ def _ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PNG decode (vendored stdlib codec) through the distributed
-    mapInPandas path; floats quantized by floor(x * 10^5) so both sides
-    compare exact integers (same double → same floor; no rounding-mode
-    divergence)."""
+    """REAL PNG + baseline-JPEG decode (vendored stdlib codecs) through
+    the distributed mapInPandas path; floats quantized by floor(x * 10^5)
+    so both sides compare exact integers (same double → same floor; no
+    rounding-mode divergence)."""
     from sparrow_ipc_spark.functions.multimodal import image_features, synthetic_media
 
     feats = image_features(synthetic_media(spark, n=96), use_real_decode=True)
@@ -1052,13 +1052,13 @@ def _image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _image_features_oracle_sql(n: int = 96) -> str:
     """Literal oracle built by replaying the deterministic media generator
-    + the SAME vendored PNG decode driver-side with NO Spark — verifies
-    the distributed mapInPandas path (filtering, batching, schema, decode)
-    against an independent single-process computation."""
+    + the SAME vendored PNG/JPEG decode driver-side with NO Spark —
+    verifies the distributed mapInPandas path (filtering, batching,
+    schema, decode) against an independent single-process computation."""
     import math
 
-    from sparrow_ipc_spark.functions import png
-    from sparrow_ipc_spark.functions.multimodal import _entropy, synthetic_media_rows
+    from sparrow_ipc_spark.functions.multimodal import (
+        _decode_image_real, _entropy, synthetic_media_rows)
 
     import numpy as _np
 
@@ -1066,7 +1066,7 @@ def _image_features_oracle_sql(n: int = 96) -> str:
     for mid, kind, _mime, _w, _h, _dur, payload in synthetic_media_rows(n):
         if kind != "image":
             continue
-        img = png.luma(png.decode_png(bytes(payload)))
+        img = _decode_image_real(bytes(payload))
         ml = float(_np.float32(img.mean()))
         be = float(_np.float32(_entropy(img)))
         vals.append(

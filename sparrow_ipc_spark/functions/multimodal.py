@@ -3,13 +3,14 @@ with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schemas, partition-preserving UDF signatures,
 batch shapes, deterministic decoders for tests — is real.  Image decode
-is ALSO real for PNG payloads: a vendored stdlib-zlib+numpy PNG decoder
-(:mod:`sparrow_ipc_spark.functions.png`, public PNG spec) backs
-``_decode_image_real`` where PIL is absent (PIL remains uninstallable in
-this sandbox — no network route; when importable it takes precedence and
-handles every format).  Non-PNG formats without PIL still raise
-``NotImplementedError`` loudly.  Audio/video decode remains a
-deterministic stand-in (no stdlib-expressible codec).
+is ALSO real for PNG and baseline-JPEG payloads: vendored stdlib+numpy
+codecs (:mod:`sparrow_ipc_spark.functions.png`, public PNG spec;
+:mod:`sparrow_ipc_spark.functions.jpeg`, public ITU-T T.81 spec) back
+``_decode_image_real`` (PIL remains uninstallable in this sandbox — no
+network route; when importable it handles the remaining formats).  Other
+formats without PIL still raise ``NotImplementedError`` loudly.
+Audio/video decode remains a deterministic stand-in (no
+stdlib-expressible codec).
 """
 
 from __future__ import annotations
@@ -53,24 +54,29 @@ except ImportError:
 def _decode_image_real(payload: bytes) -> np.ndarray:
     """Real decode → grayscale (h, w) uint8.
 
-    PNG always goes through the vendored codec — NOT PIL even when PIL is
-    importable — so features are bit-deterministic across environments
-    (PIL's convert("L") uses >>16 fixed-point luma that differs by ±1 from
-    the vendored //1000 formula; a PIL-present machine would silently
-    break the image_features oracle otherwise).  PIL handles every other
-    format when importable; non-PNG without PIL raises loudly."""
-    from sparrow_ipc_spark.functions import png
+    PNG and baseline JPEG always go through the vendored codecs — NOT PIL
+    even when PIL is importable — so features are bit-deterministic across
+    environments (PIL's convert("L") uses >>16 fixed-point luma that
+    differs by ±1 from the vendored //1000 formula, and libjpeg's IDCT
+    differs per build; a PIL-present machine would silently break the
+    image_features oracle otherwise).  PIL handles every other format when
+    importable; other formats without PIL raise loudly."""
+    from sparrow_ipc_spark.functions import jpeg, png
 
     if png.is_png(payload):
         return png.luma(png.decode_png(payload))
+    if jpeg.is_jpeg(payload):
+        arr = jpeg.decode_jpeg(payload)
+        return arr if arr.ndim == 2 else png.luma(arr)
     if _PIL_Image is not None:
         import io
 
         img = _PIL_Image.open(io.BytesIO(payload)).convert("L")  # pragma: no cover
         return np.asarray(img, dtype=np.uint8)  # pragma: no cover
     raise NotImplementedError(
-        "non-PNG media decode requires PIL/libvips (not installable in this "
-        "sandbox); PNG decodes via the vendored stdlib codec")
+        "non-PNG/JPEG media decode requires PIL/libvips (not installable in "
+        "this sandbox); PNG and baseline JPEG decode via the vendored "
+        "stdlib codecs")
 
 
 def _decode_image_fake(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -226,8 +232,11 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
     """Pure-numpy deterministic media rows (no Spark) — shared by the
-    Spark table builder and the driver-side oracle replay."""
-    from sparrow_ipc_spark.functions import png
+    Spark table builder and the driver-side oracle replay.  Every third
+    image row is a baseline JPEG (vendored encoder; mixing 4:4:4, 4:2:0
+    and restart intervals) so the real-decode path covers both vendored
+    codecs end-to-end; the rest are PNGs."""
+    from sparrow_ipc_spark.functions import jpeg, png
 
     rng = np.random.default_rng([seed, 777])
     rows = []
@@ -245,8 +254,15 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
                 img = np.stack([gray, gray[::-1, :], gray[:, ::-1]], axis=-1)
             else:
                 img = gray
-            payload = png.encode_png(img)
-            mime = "image/png"
+            j = i // 3
+            if j % 3 == 2:
+                payload = jpeg.encode_jpeg(
+                    img, quality=90, subsample=(j % 2 == 1),
+                    restart_interval=3 if j % 4 == 3 else 0)
+                mime = "image/jpeg"
+            else:
+                payload = png.encode_png(img)
+                mime = "image/png"
         else:
             w = h = None
             dur = int(rng.integers(500, 5000))
@@ -259,8 +275,8 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table for tests (no external data).
 
-    Image rows carry REAL PNG payloads (vendored encoder; alternating
-    grayscale/RGB gradients + seeded noise) so the real decode path is
-    exercised end-to-end; audio/video payloads stay opaque bytes for the
-    stand-in decoders."""
+    Image rows carry REAL PNG and baseline-JPEG payloads (vendored
+    encoders; alternating grayscale/RGB gradients + seeded noise) so both
+    real decode paths are exercised end-to-end; audio/video payloads stay
+    opaque bytes for the stand-in decoders."""
     return spark.createDataFrame(synthetic_media_rows(n, seed), schema=MEDIA_SCHEMA)
