@@ -316,6 +316,13 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("invalid JPEG: missing SOF0/SOS")
 
     comps = frame["comps"]
+    if len(scan) != len(comps):
+        # T.81 allows baseline files built from several per-component
+        # scans; decoding just the first would leave the other planes
+        # zeroed — refuse loudly instead of returning garbage pixels
+        raise NotImplementedError(
+            "multi-scan baseline JPEG (per-component non-interleaved "
+            "scans) is not vendored — use PIL for these")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-frame["w"] // (8 * hmax))
@@ -324,42 +331,67 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     for s in scan:
         c = by_id[s["id"]]
         c["td"], c["ta"] = s["td"], s["ta"]
-        c["zz"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
         c["pred"] = 0
 
+    def _read_block(c, blk) -> None:
+        dc_t, ac_t = huff[(0, c["td"])], huff[(1, c["ta"])]
+        s = rd.decode_huff(dc_t)
+        diff = _extend(rd.receive(s), s)
+        c["pred"] += diff
+        blk[0] = c["pred"]
+        k = 1
+        while k < 64:
+            rs = rd.decode_huff(ac_t)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL: sixteen zeros
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("invalid JPEG: AC index overflow")
+            blk[k] = _extend(rd.receive(s), s)
+            k += 1
+
     rd = _BitReader(data, pos)
-    order = [by_id[s["id"]] for s in scan]
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and mcu_count and mcu_count % dri == 0:
-                rd.restart()
-                for c in order:
+    if len(scan) == 1:
+        # T.81 A.2.2: a ONE-component scan is NON-interleaved — the MCU is
+        # a single data unit and blocks raster over the component's own
+        # grid.  With one frame component hmax==h and vmax==v, so the
+        # component is full resolution: ceil(w/8) x ceil(h/8) blocks (a
+        # grayscale file keeping 2x2 luma factors from a color source has
+        # different geometry than the interleaved MCU walk would assume).
+        c = by_id[scan[0]["id"]]
+        bh_, bw_ = -(-frame["h"] // 8), -(-frame["w"] // 8)
+        c["zz"] = np.zeros((bh_, bw_, 64), dtype=np.int64)
+        c["grid"] = (bh_, bw_)
+        mcu_count = 0
+        for byy in range(bh_):
+            for bxx in range(bw_):
+                if dri and mcu_count and mcu_count % dri == 0:
+                    rd.restart()
                     c["pred"] = 0
-            for c in order:
-                dc_t, ac_t = huff[(0, c["td"])], huff[(1, c["ta"])]
-                for v in range(c["v"]):
-                    for hh in range(c["h"]):
-                        blk = c["zz"][my * c["v"] + v, mx * c["h"] + hh]
-                        s = rd.decode_huff(dc_t)
-                        diff = _extend(rd.receive(s), s)
-                        c["pred"] += diff
-                        blk[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = rd.decode_huff(ac_t)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL: sixteen zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("invalid JPEG: AC index overflow")
-                            blk[k] = _extend(rd.receive(s), s)
-                            k += 1
-            mcu_count += 1
+                _read_block(c, c["zz"][byy, bxx])
+                mcu_count += 1
+    else:
+        order = [by_id[s["id"]] for s in scan]
+        for c in order:
+            c["zz"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                               dtype=np.int64)
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and mcu_count and mcu_count % dri == 0:
+                    rd.restart()
+                    for c in order:
+                        c["pred"] = 0
+                for c in order:
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            _read_block(
+                                c, c["zz"][my * c["v"] + v, mx * c["h"] + hh])
+                mcu_count += 1
 
     planes = []
     for c in comps:
@@ -371,7 +403,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         # vectorized IDCT over every block at once
         pix = np.einsum("ij,njk,kl->nil", _A.T, blocks, _A)
         pix = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
-        rows, cols = mcuy * c["v"], mcux * c["h"]
+        rows, cols = c.get("grid", (mcuy * c["v"], mcux * c["h"]))
         plane = (pix.reshape(rows, cols, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8))
         # upsample to full grid, crop to image size

@@ -46,9 +46,6 @@ def compact_blocks(
     NOTE: the directory swap uses local-filesystem renames — compaction of
     an object-store (s3a/hdfs) table needs a FileSystem-API commit instead;
     every other job in the engine is URI-agnostic."""
-    import json as _json
-
-    from sparrow_ipc_spark.operators.encode_job import load_schema_sidecar
     from sparrow_ipc_spark.sources.manifest import acquire_commit_lease
 
     # the lease is held for the WHOLE compaction — from the first read of

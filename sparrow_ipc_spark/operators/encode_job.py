@@ -741,10 +741,15 @@ def _write_encoded_under_lease(
         man_rows = M.manifest_rows_for_new_files(
             spark, blocks_dir, new_files, this_snapshot)
         # a long encode can outlive the lease: a stolen lease must abort
-        # HERE, before the segment publishes over a foreign commit
+        # HERE, before the segment publishes over a foreign commit —
+        # expect_new_snapshot is the directory-level CAS backstop for the
+        # stall window the lease file alone cannot close
         lease.assert_owned()
-        M.write_segment(out_dir, man_rows)
+        M.write_segment(out_dir, man_rows, expect_new_snapshot=this_snapshot)
         all_parts = {int(r["part_id"]) for r in man_rows} | set(prev_snapshots)
+        # re-check: the segment merge inside write_segment can run long,
+        # and a cursor must never publish under a lost lease
+        lease.assert_owned()
         M.write_cursor(out_dir, this_snapshot, max(all_parts, default=-1))
     write_schema_sidecar(out_dir, df.schema)
     if not clustered:

@@ -640,13 +640,16 @@ def _publish_under_lease(path, staging, messages, overwrite, marker,
     ]
     seg_name = f"seg-{batch_tag}.parquet" if batch_tag is not None else None
     lease.assert_owned()  # a stolen lease must abort before publishing
-    write_segment(path, man_rows, seg_name)
+    # expect_new_snapshot: directory-level CAS — auto-skipped on replay
+    # (the deterministic segment already exists, reusing its snapshot)
+    write_segment(path, man_rows, seg_name, expect_new_snapshot=snap)
     # cursor BEFORE the marker: a crash between marker and cursor would
     # leave a permanently-stale cursor on a replay-skipped batch (stale
     # cursors are detected via segment count, but the detected fallback
     # costs a full read forever); crash between cursor and marker just
     # replays the batch, overwriting the same deterministic names
     new_max = max([m.part_id for m in messages], default=-1)
+    lease.assert_owned()  # merge inside write_segment can run long
     write_cursor(path, snap, max(prev_max_part, new_max))
     if marker is not None:
         with open(os.path.join(path, "manifest", marker), "w") as mf:

@@ -104,11 +104,24 @@ def read_cursor(path: str) -> dict | None:
 
 
 def write_cursor(path: str, snapshot: int, max_part_id: int) -> None:
+    """Publish the O(1) committed-state cursor, RECONCILED against the
+    manifest directory: the written watermarks are the max of the caller's
+    values and :func:`dir_committed_bounds`.  A committer that stalled past
+    its lease and resumed after a takeover published newer segments would
+    otherwise clobber the cursor with watermarks BEHIND the directory —
+    with an n_segments count taken at write time, read_cursor's staleness
+    check cannot catch that, and the next committer would mint colliding
+    part ids / snapshots from it.  Reconciling also makes a streaming
+    replay of an old micro-batch (recorded snapshot < later appends)
+    publish a cursor covering the whole directory.  O(segments) footer
+    reads — bounded by the auto-merge limit, not table size."""
     d = man_dir(path)
     os.makedirs(d, exist_ok=True)
+    dir_snap, dir_part = dir_committed_bounds(path)
     tmp = os.path.join(d, f"_cursor.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as f:
-        json.dump({"snapshot": int(snapshot), "max_part_id": int(max_part_id),
+        json.dump({"snapshot": max(int(snapshot), dir_snap),
+                   "max_part_id": max(int(max_part_id), dir_part),
                    "n_segments": len(_segment_files(d)) + len(_legacy_files(d))}, f)
     os.replace(tmp, os.path.join(d, _CURSOR))
 
@@ -207,7 +220,14 @@ def read_manifest_table(path: str, columns: list[str] | None = None):
     Real read errors PROPAGATE: silently treating a broken manifest as
     empty would restart part ids at 0 and overwrite committed blocks."""
     cols = None if columns is None else sorted(set(columns) | set(_DEDUPE_COLS))
-    return cached_plan(path, ("table", tuple(cols) if cols else None),
+    if cols is None:
+        # full-width reads are the WRITE-SIDE view (resume, compaction):
+        # rare, and caching them would pin an O(parts) all-columns table
+        # (codec_summary strings included) in the process-wide plan cache
+        # for the life of a long-lived driver — planning callers always
+        # pass a column list and get the memoized pruned read
+        return _read_manifest_table_uncached(path, None)
+    return cached_plan(path, ("table", tuple(cols)),
                        lambda: _read_manifest_table_uncached(path, cols))
 
 
@@ -294,13 +314,20 @@ def vacuum_orphan_blocks(path: str, committed_rows: list[dict] | None = None,
     committed file map is a subset of disk.  A hand-rewritten or
     foreign-tool dir has stale file names, and deleting by a stale map
     would destroy committed data.  Returns the number of files removed."""
-    rows = committed_rows if committed_rows is not None else read_manifest_rows(path)
-    if not rows or not all(r.get("file") for r in rows):
-        return 0
+    if committed_rows is not None:
+        if not committed_rows or not all(r.get("file") for r in committed_rows):
+            return 0
+        committed_files = {r["file"] for r in committed_rows}
+    else:
+        # column-pruned: vacuum only needs the file map, never the
+        # full-width O(parts) dict view
+        fc = read_manifest_table(path, ["file"]).column("file")
+        if not len(fc) or fc.null_count:
+            return 0
+        committed_files = set(fc.to_pylist())
     bd = blocks_dir or os.path.join(path, "blocks")
     if not os.path.isdir(bd):
         return 0
-    committed_files = {r["file"] for r in rows}
     disk = {f for f in os.listdir(bd) if f.endswith(".parquet")}
     if not committed_files <= disk:
         return 0
@@ -332,6 +359,65 @@ def segment_snapshot_range(seg_path: str) -> tuple[int, int] | None:
     if lo is None:
         return None
     return int(lo), int(hi)
+
+
+def _file_col_max(p: str, md, col: str) -> int | None:
+    """Max of ``col`` over one manifest parquet file, from FOOTER
+    statistics when present (no data pages), else a column-pruned read.
+    None when the column is absent (pre-``snapshot`` legacy files) or the
+    file holds no values."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    names = md.schema.to_arrow_schema().names
+    if col not in names:
+        return None
+    idx = names.index(col)
+    hi, stats_ok = None, True
+    for i in range(md.num_row_groups):
+        st = md.row_group(i).column(idx).statistics
+        if st is None or not st.has_min_max:
+            stats_ok = False
+            break
+        hi = st.max if hi is None else max(hi, st.max)
+    if stats_ok:
+        return None if hi is None else int(hi)
+    v = pc.max(pq.read_table(p, columns=[col]).column(col)).as_py()
+    return None if v is None else int(v)
+
+
+def dir_committed_bounds(path: str) -> tuple[int, int]:
+    """(max_snapshot, max_part_id) derived from the manifest DIRECTORY —
+    footer statistics over every committed manifest file, never trusting
+    the cursor.  (-1, -1) when the table has no commits.  O(segments)
+    footer reads; segments are bounded by the auto-merge limit, so this is
+    safe on a per-commit hot path.
+
+    This is the ground truth :func:`write_cursor` reconciles against: a
+    writer that stalls past its lease inside ``write_segment`` (merge at
+    high part counts) can resume after a takeover already published newer
+    segments, and a cursor written from its in-memory state would record
+    snapshot/part watermarks BEHIND the directory — the next committer
+    would mint colliding ids from it."""
+    import pyarrow.parquet as pq
+
+    d, files = _manifest_read_dir(path)
+    max_s, max_p = -1, -1
+    for f in files:
+        p = os.path.join(d, f)
+        try:
+            md = pq.read_metadata(p)
+        except (OSError, ValueError):
+            continue  # racing a merge delete: content lives in the merged file
+        if not md.num_rows:
+            continue
+        s = _file_col_max(p, md, "snapshot")
+        # legacy rows predate the snapshot column: they are snapshot 0
+        max_s = max(max_s, 0 if s is None else s)
+        pid = _file_col_max(p, md, "part_id")
+        if pid is not None:
+            max_p = max(max_p, pid)
+    return max_s, max_p
 
 
 def new_files_between(path: str, start_snap: int, end_snap: int) -> set[str] | None:
@@ -449,17 +535,43 @@ def _maybe_merge_segments(d: str, limit: int = SEGMENT_LIMIT,
 
 
 def write_segment(path: str, man_rows: list[dict], seg_name: str | None = None,
-                  merge_limit: int = SEGMENT_LIMIT) -> str:
+                  merge_limit: int = SEGMENT_LIMIT,
+                  expect_new_snapshot: int | None = None) -> str:
     """Atomically publish one manifest segment (plus legacy migration and
     opportunistic segment merging).  Returns the segment file name.
 
     ``seg_name`` must be deterministic for replayable commits (streaming
-    micro-batches) so a replay overwrites rather than duplicates."""
+    micro-batches) so a replay overwrites rather than duplicates.
+
+    ``expect_new_snapshot`` is the filesystem CAS for append commits: the
+    caller passes the snapshot it minted (committed max + 1 at the time it
+    read state), and the publish is REFUSED with :class:`CommitLeaseError`
+    if the directory already holds that snapshot or newer — the signature
+    of a committer that stalled past its lease while a takeover published.
+    Skipped when the deterministic segment already exists (a replay
+    legitimately re-publishes its recorded snapshot, possibly below the
+    directory max).  A sub-millisecond check-to-replace window remains
+    (plain filesystems cannot close it); the lease protocol makes reaching
+    it require a stall that defeats the heartbeat, and the reconciling
+    :func:`write_cursor` bounds the damage to duplicate part ids inside
+    one segment, never a poisoned cursor."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     d = man_dir(path)
     os.makedirs(d, exist_ok=True)
+    if seg_name is None:
+        seg_name = f"seg-{uuid.uuid4().hex[:12]}.parquet"
+    if expect_new_snapshot is not None and not os.path.isfile(
+            os.path.join(d, seg_name)):
+        dir_snap, _ = dir_committed_bounds(path)
+        if dir_snap >= int(expect_new_snapshot):
+            raise CommitLeaseError(
+                f"append commit conflict for {path}: directory already "
+                f"holds snapshot {dir_snap} >= expected new snapshot "
+                f"{expect_new_snapshot} — another committer published "
+                "after this writer read committed state (lease lost?); "
+                "re-read state and re-mint ids before retrying")
     # STRUCTURAL cursor invalidation: delete the cursor before touching the
     # log, so a crash anywhere before the caller's write_cursor leaves NO
     # cursor (full-read fallback) rather than a stale one.  The n_segments
@@ -470,8 +582,6 @@ def write_segment(path: str, man_rows: list[dict], seg_name: str | None = None,
     except FileNotFoundError:
         pass
     _migrate_legacy(d)
-    if seg_name is None:
-        seg_name = f"seg-{uuid.uuid4().hex[:12]}.parquet"
     rows = []
     for r in man_rows:
         r = dict(r)
@@ -637,26 +747,23 @@ class CommitLease:
         return {"owner": self.owner, "pid": os.getpid(),
                 "renewed": time.time(), "lease_s": self.lease_s}
 
-    def _expired(self, payload: dict, now: float) -> bool:
-        return now > float(payload.get("renewed", 0)) + float(
-            payload.get("lease_s", self.lease_s))
-
     def renew(self) -> None:
         """Refresh the lease timestamp; raises :class:`CommitLeaseError`
         if the lease was stolen (this writer must NOT commit).
 
         Thread-safe (the heartbeat thread and the committing thread both
-        call it).  While our payload is UNEXPIRED the refresh is a plain
-        atomic replace — content-verified takeover (see
-        :func:`acquire_commit_lease`) guarantees no contender removes a
-        live lease, so nothing can sit at the path but our own file.  Once
-        our payload has EXPIRED a takeover may be racing us, so the
-        refresh goes through the same one-winner claim: rename the path
-        file to a private name, verify it is still ours, and restore the
-        refreshed payload with a no-clobber ``os.link`` — losing any of
-        those steps marks the lease lost and raises."""
-        import time
-
+        call it).  EVERY refresh goes through the same one-winner claim —
+        rename the path file to a private name, verify it is still ours,
+        and restore the refreshed payload with a no-clobber ``os.link``;
+        losing any of those steps marks the lease lost and raises.  A
+        read-unexpired-then-replace fast path is NOT safe here: a process
+        stall between the expiry check and the replace lets a contender
+        complete a takeover and O_EXCL a fresh lease that the resumed
+        replace would clobber, yielding two live committers.  The uniform
+        claim path leaves the lease path empty for the microseconds
+        between rename and link; a contender that O_EXCLs inside that
+        window wins and this holder fails loudly before publishing —
+        single-committer safety is preserved in every interleaving."""
         with self._lock:
             if self._lost:
                 raise CommitLeaseError(
@@ -669,12 +776,6 @@ class CommitLease:
                     f"commit lease for {self.path} lost (held by "
                     f"{cur.get('owner') if cur else 'nobody'}); this writer's "
                     "lease expired and was taken over — its commit would race")
-            if not self._expired(cur, time.time()):
-                tmp = self._file + f".{uuid.uuid4().hex[:8]}.tmp"
-                with open(tmp, "w") as f:
-                    json.dump(self._payload(), f)
-                os.replace(tmp, self._file)
-                return
             claim = self._file + f".renew-{uuid.uuid4().hex[:8]}"
             try:
                 os.rename(self._file, claim)
@@ -768,22 +869,15 @@ class CommitLease:
             self._lost = False
 
     def release(self) -> None:
-        """Remove the lease iff still owned.  While our payload is
-        unexpired a direct remove is safe (no takeover can displace a live
-        lease); once expired, the remove goes through a claim-and-verify
-        rename so a thief's fresh lease is never deleted."""
-        import time
-
+        """Remove the lease iff still owned.  Like :meth:`renew`, the
+        remove ALWAYS goes through a claim-and-verify rename — a
+        read-unexpired-then-remove fast path could delete a successor's
+        fresh lease if this process stalled past expiry between the check
+        and the remove."""
         self.stop_heartbeat()
         with self._lock:
             cur = self._read()
             if cur is None or cur.get("owner") != self.owner:
-                return
-            if not self._expired(cur, time.time()):
-                try:
-                    os.remove(self._file)
-                except FileNotFoundError:
-                    pass
                 return
             claim = self._file + f".release-{uuid.uuid4().hex[:8]}"
             try:

@@ -192,8 +192,11 @@ class StreamingEncoder:
             # of this batch encoded zero rows
             r["part_offset"] = part_offset
         lease.assert_owned()  # a stolen lease must abort before publishing
-        M.write_segment(self.out_dir, man_rows, seg_name)
+        # directory-level CAS; auto-skipped on replay (segment exists)
+        M.write_segment(self.out_dir, man_rows, seg_name,
+                        expect_new_snapshot=snap)
         new_max = max((int(r["part_id"]) for r in man_rows), default=prev_max)
+        lease.assert_owned()  # merge inside write_segment can run long
         M.write_cursor(self.out_dir, max(prev_snap, snap), max(prev_max, new_max))
         if replay_off is not None:
             # REPLAY VACUUM: the crashed attempt's uuid-named block files

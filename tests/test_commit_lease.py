@@ -281,3 +281,88 @@ def test_vacuum_orphan_blocks_guards(tmp_path, spark):
     os.rename(os.path.join(bd, committed[0]), os.path.join(bd, "renamed.parquet"))
     assert M.vacuum_orphan_blocks(out) == 0
     assert os.path.exists(os.path.join(bd, "renamed.parquet"))
+
+
+def _mk_rows(part_ids, snapshot):
+    return [
+        {"part_id": int(p), "n_blocks": 1, "n_rows": 10, "raw_bytes": 100,
+         "enc_bytes": 50, "codec_summary": "{}", "status": "committed",
+         "snapshot": int(snapshot), "file": f"f{p}.parquet",
+         "file_row_groups": 1}
+        for p in part_ids
+    ]
+
+
+def test_write_segment_cas_refuses_conflicting_snapshot(tmp_path):
+    """The directory-level CAS: an append commit whose minted snapshot is
+    already present (or older than) the directory must be refused — the
+    signature of a committer that stalled past its lease while a takeover
+    published the same snapshot number."""
+    out = str(tmp_path / "tbl")
+    # B (the takeover) commits snapshot 1
+    M.write_segment(out, _mk_rows([0, 1], 1), expect_new_snapshot=1)
+    # A resumes with the SAME minted snapshot: refused, nothing published
+    segs_before = sorted(os.listdir(os.path.join(out, "manifest")))
+    with pytest.raises(M.CommitLeaseError, match="conflict"):
+        M.write_segment(out, _mk_rows([0, 1], 1), expect_new_snapshot=1)
+    assert sorted(os.listdir(os.path.join(out, "manifest"))) == segs_before
+    # a correctly re-minted snapshot (committed max + 1) goes through
+    M.write_segment(out, _mk_rows([2], 2), expect_new_snapshot=2)
+    # replay path: a deterministic segment that already exists re-publishes
+    # its recorded (old) snapshot without tripping the guard
+    M.write_segment(out, _mk_rows([3], 3), seg_name="seg-det.parquet",
+                    expect_new_snapshot=3)
+    M.write_segment(out, _mk_rows([3], 3), seg_name="seg-det.parquet",
+                    expect_new_snapshot=3)
+
+
+def test_write_cursor_reconciles_against_directory(tmp_path):
+    """A stale committer's cursor write cannot hide newer committed state:
+    write_cursor reconciles snapshot/max_part_id against directory footer
+    stats, so the published watermarks cover every segment on disk."""
+    out = str(tmp_path / "tbl")
+    M.write_segment(out, _mk_rows([0, 1], 1))
+    M.write_segment(out, _mk_rows([2, 3], 2))  # the takeover's newer commit
+    # the stale writer publishes watermarks from its in-memory state
+    M.write_cursor(out, 1, 1)
+    cur = M.read_cursor(out)
+    assert cur is not None
+    assert cur["snapshot"] == 2 and cur["max_part_id"] == 3
+    assert M.committed_state(out) == (2, 3)
+
+
+def test_renew_after_stall_detects_fresh_foreign_lease(tmp_path):
+    """Simulates the stall window: the holder's last read saw its own
+    unexpired payload, but by the time the refresh runs a contender has
+    O_EXCL-created a FRESH lease.  The claim-and-verify path must detect
+    the foreign owner, restore the contender's lease intact, and raise —
+    a read-then-replace fast path would silently clobber it."""
+    out = str(tmp_path / "tbl")
+    a = M.acquire_commit_lease(out, lease_s=60)
+    # contender B's fresh lease lands at the path (as after a takeover)
+    b_payload = {"owner": "B-owner", "pid": 1, "renewed": time.time(),
+                 "lease_s": 60}
+    with open(a._file, "w") as f:
+        json.dump(b_payload, f)
+    # mimic the stalled holder: its in-memory read still says "mine,
+    # unexpired" — force that view past the ownership pre-check
+    stale_view = a._payload()
+    a._read = lambda: stale_view  # type: ignore[method-assign]
+    with pytest.raises(M.CommitLeaseError):
+        a.renew()
+    cur = json.load(open(a._file))
+    assert cur["owner"] == "B-owner"  # B's lease survived intact
+
+
+def test_release_after_stall_preserves_foreign_lease(tmp_path):
+    out = str(tmp_path / "tbl")
+    a = M.acquire_commit_lease(out, lease_s=60)
+    b_payload = {"owner": "B-owner", "pid": 1, "renewed": time.time(),
+                 "lease_s": 60}
+    with open(a._file, "w") as f:
+        json.dump(b_payload, f)
+    stale_view = a._payload()
+    a._read = lambda: stale_view  # type: ignore[method-assign]
+    a.release()
+    cur = json.load(open(a._file))
+    assert cur["owner"] == "B-owner"

@@ -146,3 +146,41 @@ def test_image_features_jpeg_payloads(spark):
         got = next(f for f in feats if f["media_id"] == r[0])
         assert (got["width"], got["height"]) == (img.shape[1], img.shape[0])
         assert got["mean_luma"] == np.float32(img.mean())
+
+
+def _patch_sof_sampling(payload: bytes, hv: int) -> bytes:
+    """Rewrite the single SOF0 component's sampling-factor byte.  SOF0
+    layout: FFC0 len(2) prec(1) h(2) w(2) nc(1) [id hv tq]*."""
+    i = payload.index(b"\xff\xc0")
+    nc = payload[i + 9]
+    assert nc == 1
+    b = bytearray(payload)
+    b[i + 11] = hv
+    return bytes(b)
+
+
+def test_single_component_scan_is_non_interleaved_any_factors():
+    """T.81 A.2.2: a one-component scan is non-interleaved, so the
+    sampling factors do not change its block layout — a grayscale file
+    keeping 2x2 luma factors (e.g. jpegtran -grayscale output from a
+    4:2:0 source) must decode exactly like its 1x1 twin, not be walked
+    with 16x16-MCU interleaved geometry."""
+    rng = np.random.default_rng(11)
+    for shape in ((24, 24), (17, 23)):  # multiple-of-16 and ragged dims
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base_payload = jpeg.encode_jpeg(img, quality=90)
+        base = jpeg.decode_jpeg(base_payload)
+        for hv in (0x22, 0x21, 0x12):
+            dec = jpeg.decode_jpeg(_patch_sof_sampling(base_payload, hv))
+            assert np.array_equal(dec, base)
+
+
+def test_single_component_non_interleaved_with_restart_markers():
+    """Non-interleaved restart intervals count MCUs = single blocks; the
+    resync path must line up identically for any sampling factors."""
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(32, 40), dtype=np.uint8)
+    payload = jpeg.encode_jpeg(img, quality=85, restart_interval=3)
+    base = jpeg.decode_jpeg(payload)
+    dec = jpeg.decode_jpeg(_patch_sof_sampling(payload, 0x22))
+    assert np.array_equal(dec, base)
