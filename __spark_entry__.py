@@ -616,6 +616,76 @@ _SQL["embedding_dedup"] = (
     """,
 ) * 2
 
+
+def _semantic_dedup_duck(k: int = 4, eps: float = 0.92, cap: int = 2000) -> str:
+    """Full SQL mirror of the SemDeDup contract query: the seeded anchors
+    ride in as double literals, every distance/cosine is the same
+    left-associative CAST-to-DOUBLE fold the engine computes (anchor norms
+    are a shared :func:`fold_norm` literal, so rank ties can't flip on a
+    last-bit norm difference), and the greedy drop rule is the identical
+    rank-window + within-cluster join."""
+    from sparrow_ipc_spark.functions.similarity import fixed_anchors, fold_norm
+
+    anchors = fixed_anchors(_EMB_DIM, k)
+
+    def sqd(col: str, a) -> str:
+        return " + ".join(
+            f"(CAST({col}[{i + 1}] AS DOUBLE) - ({float(v)!r}))"
+            f" * (CAST({col}[{i + 1}] AS DOUBLE) - ({float(v)!r}))"
+            for i, v in enumerate(a)
+        )
+
+    def dotlit(col: str, a) -> str:
+        return " + ".join(
+            f"CAST({col}[{i + 1}] AS DOUBLE) * ({float(v)!r})"
+            for i, v in enumerate(a)
+        )
+
+    dl = ", ".join(f"({sqd('embedding', a)})" for a in anchors)
+    cl = ", ".join(
+        f"(({dotlit('embedding', a)})"
+        f" / (sqrt({_dot_terms('embedding', 'embedding')}) * ({fold_norm(a)!r})))"
+        for a in anchors
+    )
+    pair_cos = (
+        f"({_dot_terms('a.embedding', 'b.embedding')})"
+        f" / (sqrt({_dot_terms('a.embedding', 'a.embedding')})"
+        f" * sqrt({_dot_terms('b.embedding', 'b.embedding')}))"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {cap}
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < {cap}
+),
+feat AS (
+  SELECT vec_id, embedding, [{dl}] AS dl, [{cl}] AS cl FROM base
+),
+asg AS (
+  SELECT vec_id, embedding,
+         CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cluster,
+         cl[list_position(dl, list_min(dl))] AS c_cos
+  FROM feat
+),
+rk AS (
+  SELECT vec_id, embedding, cluster, c_cos,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY c_cos ASC NULLS LAST, vec_id ASC) AS rnk
+  FROM asg
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM rk a JOIN rk b ON a.cluster = b.cluster AND a.rnk < b.rnk
+  WHERE ({pair_cos}) >= {float(eps)!r}
+)
+SELECT r.vec_id, r.cluster, ROUND(r.c_cos, 6) AS centroid_cos,
+       (d.vec_id IS NULL) AS kept
+FROM rk r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+"""
+
+
+_SQL["semantic_dedup"] = ("", _semantic_dedup_duck)
+
 # container-codec decode proofs: the Spark side runs the FULL encode→decode
 # pipeline over constructed map / nested-array columns, the oracle
 # reconstructs the expected rows directly from the parquet
@@ -944,6 +1014,28 @@ def _embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup contract query: deterministic seeded anchors stand in for
+    trained centroids (so the DuckDB oracle can replay the identical
+    geometry), planted exact copies at vec_id + 10^6 guarantee the drop
+    path fires (the original out-ranks its copy on the id tie-break), and
+    the id cap keeps the within-cluster pairwise cost fixed across scale
+    factors.  The trained-centroid path (ivf_centroids_distributed) is
+    pytest-covered instead (training is data-dependent, not
+    SQL-replayable)."""
+    from sparrow_ipc_spark.functions.similarity import fixed_anchors, semantic_dedup
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") < 2000)
+    )
+    planted = emb.select((F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+                         "embedding")
+    return semantic_dedup(emb.unionByName(planted),
+                          fixed_anchors(_EMB_DIM, 4), eps=0.92)
+
+
 def _simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-SimHash near-dup pairs (16-bit-chunk blocked), oracle-checked
     against the same construction in DuckDB.  The xxhash64 variant
@@ -1127,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["quality_filter"] = _fn_query(P.quality_filter)
     out["ngram_jaccard_lsh"] = _ngram_jaccard_lsh
     out["embedding_dedup"] = _embedding_dedup
+    out["semantic_dedup"] = _semantic_dedup
     out["map_decode"] = _map_decode
     out["nested_decode"] = _nested_decode
     out["datasource_roundtrip"] = _datasource_roundtrip

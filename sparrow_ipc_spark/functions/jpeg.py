@@ -336,6 +336,11 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     def _read_block(c, blk) -> None:
         dc_t, ac_t = huff[(0, c["td"])], huff[(1, c["ta"])]
         s = rd.decode_huff(dc_t)
+        if s > 15:
+            # T.81 F.1.2.1: DC magnitude category is at most 15 (11 for
+            # 8-bit baseline); a corrupt Huffman table can map to any
+            # byte, and receive(255) would grow pred past int64
+            raise ValueError("invalid JPEG: DC magnitude category > 15")
         diff = _extend(rd.receive(s), s)
         c["pred"] += diff
         blk[0] = c["pred"]

@@ -256,3 +256,86 @@ def pairwise_cosine_dedup(df: DataFrame, threshold: float = 0.95, n_planes: int 
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def fixed_anchors(dim: int, k: int, seed: int = 7) -> np.ndarray:
+    """Deterministic data-independent anchor points (seeded gaussian).
+    They stand in for trained centroids wherever a cross-engine oracle
+    needs the cluster geometry to be a pure function of (dim, k, seed) —
+    the real pipeline trains with :func:`ivf_centroids_distributed`."""
+    rng = np.random.default_rng([seed, 424_242])
+    return rng.standard_normal((k, dim))
+
+
+def fold_norm(vec) -> float:
+    """Left-associative Euclidean norm (``s += v*v`` in order).  Used for
+    anchor norms so the engine and a SQL oracle divide by the *same*
+    double literal instead of numpy's pairwise-summed norm (whose last-bit
+    difference could flip a rank tie)."""
+    s = 0.0
+    for v in vec:
+        s += float(v) * float(v)
+    return float(np.sqrt(s))
+
+
+def semantic_dedup(df: DataFrame, centroids: np.ndarray, eps: float = 0.92,
+                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed as
+    DataFrame ops: cluster every embedding to its nearest centroid, then
+    inside each cluster greedily keep the farthest-from-centroid item
+    first (the paper's keep rule; ties by id) and drop anything whose
+    cosine to an already-kept clustermate is ``>= eps``.
+
+    Returns every input row as ``(id_col, cluster int, centroid_cos
+    double(6), kept boolean)`` — survivors are ``kept = true``.
+
+    Plan shape / 100 TB notes:
+
+    * Assignment + centroid cosine are pure JVM fold expressions over
+      broadcast-sized centroid literals — no shuffle, whole-stage codegen.
+    * One shuffle on ``cluster`` feeds BOTH the rank window and the
+      within-cluster candidate join (the assignment is persisted so the
+      two consumers share lineage).
+    * The candidate join is the paper's own O(|cluster|²/k) cost: the
+      scale knob is the centroid count (SemDeDup uses ~50k clusters for
+      10^8 items, keeping clusters at ~10^3-10^4 rows).  Train centroids
+      with :func:`ivf_centroids_distributed` and size ``k ≈ N / 5k``; a
+      pathologically hot cluster should be re-split (train a sub-quantizer
+      on it) rather than salted, since the drop rule needs all pairs.
+    * ``try_divide`` + NULLS LAST: a zero vector ranks last and can never
+      drop (NULL cosine fails ``>= eps``) instead of crashing ANSI mode.
+    """
+    from pyspark.sql import Window
+
+    c = np.asarray(centroids, dtype=np.float64)
+    dists = F.array(*[_sq_dist(F.col(vec_col), ck) for ck in c])
+    coss = F.array(*[
+        F.try_divide(_dot(F.col(vec_col), F.array(*[F.lit(float(t)) for t in ck])),
+                     _norm(vec_col) * F.lit(fold_norm(ck)))
+        for ck in c
+    ])
+    pos = F.array_position(dists, F.array_min(dists)).cast("int")
+    asg = df.select(
+        F.col(id_col), F.col(vec_col),
+        (pos - 1).alias("cluster"),
+        F.element_at(coss, pos).alias("c_cos"),
+    )
+    w = Window.partitionBy("cluster").orderBy(F.asc_nulls_last("c_cos"), F.asc(id_col))
+    rk = asg.withColumn("rnk", F.row_number().over(w)).persist()
+    a = rk.select("cluster", F.col("rnk").alias("rnk_a"), F.col(vec_col).alias("va"))
+    b = rk.select("cluster", F.col("rnk").alias("rnk_b"),
+                  F.col(id_col).alias("drop_id"), F.col(vec_col).alias("vb"))
+    pc = F.try_divide(_dot(F.col("va"), F.col("vb")), _norm("va") * _norm("vb"))
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("rnk_a") < F.col("rnk_b"))
+        .where(pc >= F.lit(float(eps)))
+        .select("drop_id")
+        .distinct()
+    )
+    return (
+        rk.join(dropped, rk[id_col] == dropped["drop_id"], "left")
+        .select(F.col(id_col), F.col("cluster"),
+                F.round("c_cos", 6).alias("centroid_cos"),
+                F.col("drop_id").isNull().alias("kept"))
+    )

@@ -293,3 +293,35 @@ def test_duplicated_spans(spark):
     # plan shape: one aggregation, no join anywhere
     plan = dedup.duplicated_spans(df, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_semantic_dedup(vectors):
+    """SemDeDup drop rule on trained centroids: the planted near-dup pair
+    (0, 1) loses exactly one member, everything else survives, and the
+    survivor is the pair's farthest-from-centroid item (the paper's keep
+    rule)."""
+    cents = similarity.ivf_centroids_distributed(vectors, n_centroids=3, iters=2)
+    out = similarity.semantic_dedup(vectors, cents, eps=0.95)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == 20 and all(r["cluster"] >= 0 for r in rows.values())
+    pair = [rows[0], rows[1]]
+    assert sorted(r["kept"] for r in pair) == [False, True]
+    assert rows[0]["cluster"] == rows[1]["cluster"]
+    kept = next(r for r in pair if r["kept"])
+    dropped = next(r for r in pair if not r["kept"])
+    assert kept["centroid_cos"] <= dropped["centroid_cos"]
+    others = [r for i, r in rows.items() if i > 1]
+    assert all(r["kept"] for r in others)
+
+
+def test_semantic_dedup_zero_vector_ranks_last(spark):
+    """A zero vector must neither crash ANSI mode nor drop anything: NULL
+    centroid-cosine ranks last and NULL pair-cosine fails >= eps."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.99, 0.01])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = np.asarray([[1.0, 0.0]])
+    out = {r["vec_id"]: r for r in
+           similarity.semantic_dedup(df, cents, eps=0.9).collect()}
+    assert out[1]["kept"] and out[1]["centroid_cos"] is None
+    # 2 ~ dup of 0; 2 is farther from the centroid so it out-ranks 0
+    assert out[2]["kept"] and not out[0]["kept"]
