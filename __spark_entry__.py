@@ -577,7 +577,7 @@ _ANN_DUCK = _ann_oracle_duck()
 _SQL["ann_topk"] = (_ANN_DUCK, _ANN_DUCK)
 
 
-def _simhash_near_duck(max_hamming: int = 3) -> str:
+def _simhash_near_duck(max_hamming: int = 3, tail: str | None = None) -> str:
     """Chunk-blocked md5-SimHash near pairs (the exact DuckDB mirror of
     dedup.simhash_near_pairs_md5): same simhash, same 4×16-bit chunk
     blocking (pigeonhole-exact for Hamming ≤ 3), same per-hex-digit
@@ -588,21 +588,48 @@ def _simhash_near_duck(max_hamming: int = 3) -> str:
         f" CAST(strpos({hx}, substr(b.simhash, {k + 1}, 1)) - 1 AS BIGINT)))"
         for k in range(16)
     )
-    return f"""
-WITH s AS ({_simhash_sql('duck')}),
+    cte = f"""s AS ({_simhash_sql('duck')}),
 c AS (SELECT doc_id, simhash, i AS chunk, substr(simhash, CAST(1 + 4*i AS INTEGER), 4) AS val
       FROM s, UNNEST(range(0, 4)) u(i)),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, ({ham}) AS hamming
   FROM c a JOIN c b ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
-)
+)"""
+    if tail is None:
+        tail = f"""
 SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
 FROM pairs WHERE hamming <= {max_hamming}
 """
+    return f"WITH RECURSIVE {cte}{tail}"
 
 
 _SIMHASH_NEAR_DUCK = _simhash_near_duck()
 _SQL["simhash_near_pairs"] = (_SIMHASH_NEAR_DUCK, _SIMHASH_NEAR_DUCK)
+
+
+def _dup_groups_duck(max_hamming: int = 3) -> str:
+    """Connected components over the SimHash near-pair graph as a
+    recursive CTE (min-label reachability): composes the exact
+    simhash-pair CTEs with a walk that enumerates (node, reachable
+    label) and keeps the minimum — the declarative twin of
+    dedup.connected_components' iterative min propagation."""
+    return _simhash_near_duck(max_hamming, tail=f""",
+np AS (SELECT id_a, id_b FROM pairs WHERE hamming <= {max_hamming}),
+edges AS (SELECT id_a AS u, id_b AS v FROM np
+          UNION SELECT id_b, id_a FROM np),
+nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
+walk(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+)
+SELECT id AS doc_id, MIN(comp) AS group_id,
+       (id = MIN(comp)) AS canonical
+FROM walk GROUP BY id
+""")
+
+
+_SQL["dup_groups"] = ("", _dup_groups_duck)
 
 # planted-exact-copy recall oracle: every vec_id gets an exact duplicate at
 # vec_id + 1000000; identical vectors land in the same RHP bucket by
@@ -1014,6 +1041,17 @@ def _embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph → duplicate groups: SimHash near pairs (the
+    oracled md5 variant) collapsed by distributed min-label connected
+    components; every doc gets (group_id = smallest member, canonical)."""
+    from sparrow_ipc_spark.functions.dedup import dup_groups, simhash_near_pairs_md5
+
+    docs = _docs(spark, sf_dir)
+    pairs = simhash_near_pairs_md5(docs, max_hamming=3)
+    return dup_groups(docs, pairs)
+
+
 def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup contract query: deterministic seeded anchors stand in for
     trained centroids (so the DuckDB oracle can replay the identical
@@ -1220,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ngram_jaccard_lsh"] = _ngram_jaccard_lsh
     out["embedding_dedup"] = _embedding_dedup
     out["semantic_dedup"] = _semantic_dedup
+    out["dup_groups"] = _dup_groups
     out["map_decode"] = _map_decode
     out["nested_decode"] = _nested_decode
     out["datasource_roundtrip"] = _datasource_roundtrip

@@ -334,3 +334,68 @@ def duplicated_spans(df: DataFrame, k: int = 5, col: str = "text",
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame,
+                         id_col: str = "id", src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Distributed connected components by iterative min-label
+    propagation: every node starts as its own component, each round takes
+    the min component id over itself and its neighbors, and the loop stops
+    when the (monotone non-increasing) sum of labels is unchanged.
+
+    Returns ``(id_col, group_id)`` for EVERY node (singletons keep their
+    own id).  The only driver-side data per round is one scalar aggregate.
+
+    Scale notes: rounds = graph diameter.  Near-dup graphs are unions of
+    near-cliques (diameter ~2-3), so 3-4 shuffle rounds close web-scale
+    dedup graphs; for adversarial long-path graphs switch to the
+    large-star/small-star alternation (Kiveris et al., SoCC 2014), which
+    bounds rounds at O(log² n) with the same join+min building block.
+    Each round is one shuffle join on the current labels plus one
+    groupBy-min; labels are persisted per round and the previous round is
+    unpersisted, keeping lineage flat.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    comp = nodes.select(F.col(id_col).alias("u"),
+                        F.col(id_col).alias("comp")).persist()
+    # decimal(38,0) keeps the convergence checksum exact under ANSI mode
+    total = comp.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(comp, "u")
+            .select(F.col("v").alias("u"), F.col("comp"))
+        )
+        new = (
+            comp.unionByName(nbr)
+            .groupBy("u").agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        new_total = new.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+        comp.unpersist()
+        comp = new
+        if new_total == total:
+            break
+        total = new_total
+    sym.unpersist()
+    return comp.select(F.col("u").alias(id_col), F.col("comp").alias("group_id"))
+
+
+def dup_groups(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Collapse a near-duplicate PAIR list into duplicate GROUPS — the
+    step every dedup pipeline needs between pair generation (LSH/SimHash)
+    and document selection.  ``group_id`` is the smallest member id and
+    ``canonical`` marks the one row per group a keep-first policy retains.
+
+    Returns ``(id_col, group_id, canonical boolean)`` for every document.
+    """
+    cc = connected_components(pairs, df.select(id_col).distinct(), id_col=id_col)
+    return cc.select(
+        F.col(id_col), F.col("group_id"),
+        (F.col(id_col) == F.col("group_id")).alias("canonical"),
+    )

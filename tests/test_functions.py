@@ -325,3 +325,29 @@ def test_semantic_dedup_zero_vector_ranks_last(spark):
     assert out[1]["kept"] and out[1]["centroid_cos"] is None
     # 2 ~ dup of 0; 2 is farther from the centroid so it out-ranks 0
     assert out[2]["kept"] and not out[0]["kept"]
+
+
+def test_connected_components_chain(spark):
+    """A 5-node path graph needs several propagation rounds (diameter 4):
+    min-label must still flood to every member; isolated nodes keep their
+    own id."""
+    from sparrow_ipc_spark.functions.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (1, 0), (6, 7)], "id_a long, id_b long")
+    out = {r["id"]: r["group_id"]
+           for r in connected_components(edges, nodes).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 6}
+
+
+def test_dup_groups_canonical(spark):
+    from sparrow_ipc_spark.functions.dedup import dup_groups
+
+    docs = spark.createDataFrame([(i, "t") for i in range(4)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+    rows = {r["doc_id"]: r for r in dup_groups(docs, pairs).collect()}
+    assert rows[2]["canonical"] and not rows[3]["canonical"]
+    assert rows[3]["group_id"] == 2
+    assert all(rows[i]["canonical"] for i in (0, 1))
