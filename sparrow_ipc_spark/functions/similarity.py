@@ -279,7 +279,8 @@ def fold_norm(vec) -> float:
 
 
 def semantic_dedup(df: DataFrame, centroids: np.ndarray, eps: float = 0.92,
-                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   n_salts: int = 16) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed as
     DataFrame ops: cluster every embedding to its nearest centroid, then
     inside each cluster greedily keep the farthest-from-centroid item
@@ -296,6 +297,13 @@ def semantic_dedup(df: DataFrame, centroids: np.ndarray, eps: float = 0.92,
     * One shuffle on ``cluster`` feeds BOTH the rank window and the
       within-cluster candidate join (the assignment is persisted so the
       two consumers share lineage).
+    * The candidate join is keyed ``(cluster, salt)`` with ``salt =
+      rnk_b % n_salts`` and the a-side replicated across salts, so the
+      O(|cluster|²) pair work spreads over ``k × n_salts`` tasks instead
+      of ``k`` — with a handful of clusters (tests, small corpora) a
+      cluster-only key would serialize the whole join onto k cores.
+      Per-row norms are computed once before the join (bit-identical to
+      folding them per pair, since the fold order is unchanged).
     * The candidate join is the paper's own O(|cluster|²/k) cost: the
       scale knob is the centroid count (SemDeDup uses ~50k clusters for
       10^8 items, keeping clusters at ~10^3-10^4 rows).  Train centroids
@@ -321,13 +329,22 @@ def semantic_dedup(df: DataFrame, centroids: np.ndarray, eps: float = 0.92,
         F.element_at(coss, pos).alias("c_cos"),
     )
     w = Window.partitionBy("cluster").orderBy(F.asc_nulls_last("c_cos"), F.asc(id_col))
-    rk = asg.withColumn("rnk", F.row_number().over(w)).persist()
-    a = rk.select("cluster", F.col("rnk").alias("rnk_a"), F.col(vec_col).alias("va"))
+    rk = (
+        asg.withColumn("rnk", F.row_number().over(w))
+        .withColumn("nrm", _norm(vec_col))
+        .persist()
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(int(n_salts) - 1)))
+    a = rk.select("cluster", F.col("rnk").alias("rnk_a"),
+                  F.col(vec_col).alias("va"), F.col("nrm").alias("na"),
+                  salts.alias("salt"))
     b = rk.select("cluster", F.col("rnk").alias("rnk_b"),
-                  F.col(id_col).alias("drop_id"), F.col(vec_col).alias("vb"))
-    pc = F.try_divide(_dot(F.col("va"), F.col("vb")), _norm("va") * _norm("vb"))
+                  F.col(id_col).alias("drop_id"), F.col(vec_col).alias("vb"),
+                  F.col("nrm").alias("nb"),
+                  F.pmod(F.col("rnk"), F.lit(int(n_salts))).alias("salt"))
+    pc = F.try_divide(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
     dropped = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "salt"])
         .where(F.col("rnk_a") < F.col("rnk_b"))
         .where(pc >= F.lit(float(eps)))
         .select("drop_id")

@@ -341,6 +341,21 @@ def test_connected_components_chain(spark):
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 6}
 
 
+def test_connected_components_distributed_path(spark):
+    """driver_edge_cap=0 forces the iterative min-label loop (the
+    unbounded-scale tier); must agree with the union-find tier on the
+    same diameter-4 chain + singleton graph."""
+    from sparrow_ipc_spark.functions.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (1, 0), (6, 7)], "id_a long, id_b long")
+    out = {r["id"]: r["group_id"]
+           for r in connected_components(edges, nodes,
+                                         driver_edge_cap=0).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 6}
+
+
 def test_dup_groups_canonical(spark):
     from sparrow_ipc_spark.functions.dedup import dup_groups
 
