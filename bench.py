@@ -305,7 +305,10 @@ def time_queries(sf_dir: str) -> tuple[dict, dict, dict, dict]:
             continue
         walls = [wall]
         base = prior.get(name)
-        if base and wall > 1.5 * base:
+        # no baseline (query is new this round) → a one-shot wall can't be
+        # distinguished from a noise burst either; give any non-trivial
+        # first wall a second run just like a 1.5×-over-baseline one
+        if (base and wall > 1.5 * base) or (base is None and wall > 3.0):
             try:
                 w2, df = one_run(fn)
                 walls.append(w2)

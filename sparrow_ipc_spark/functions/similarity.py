@@ -335,9 +335,15 @@ def semantic_dedup(df: DataFrame, centroids: np.ndarray, eps: float = 0.92,
         .persist()
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(int(n_salts) - 1)))
+    # explicit repartition (not left to AQE): both join inputs are tiny, so
+    # the planner broadcasts b and would otherwise run the exploded pair
+    # work on the a-side's few non-empty window partitions — the join
+    # OUTPUT is the O(|cluster|²) surface, invisible to input-size-based
+    # planning.  An explicit N is exempt from AQE coalescing.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     a = rk.select("cluster", F.col("rnk").alias("rnk_a"),
                   F.col(vec_col).alias("va"), F.col("nrm").alias("na"),
-                  salts.alias("salt"))
+                  salts.alias("salt")).repartition(n_part, "cluster", "salt")
     b = rk.select("cluster", F.col("rnk").alias("rnk_b"),
                   F.col(id_col).alias("drop_id"), F.col(vec_col).alias("vb"),
                   F.col("nrm").alias("nb"),
