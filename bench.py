@@ -363,13 +363,17 @@ def sf1_decode_lane(reps: int = 2) -> dict:
         best = min(best, time.time() - t0)
     spark.stop()
     proxy = pyarrow_ipc_proxy(src)
-    return {
+    out = {
         "sf1_rows": int(rows),
-        "sf1_encode_wall": enc_wall,
         "sf1_decode_wall": round(best, 3),
         "sf1_proxy": proxy,
         "sf1_decode_beats_proxy_file": bool(best < proxy["decode_from_file_wall_s"]),
     }
+    if enc_wall >= 0:
+        out["sf1_encode_wall"] = enc_wall
+    else:  # encoded dir reused from a prior run (deterministic input)
+        out["sf1_encode_cached"] = True
+    return out
 
 
 def _one_fused_run(n_threads: int, n_convs: int, reps_in_session: int = 2):
@@ -392,7 +396,7 @@ def _one_fused_run(n_threads: int, n_convs: int, reps_in_session: int = 2):
 
 
 def timed_fused_pair(n_lo: int, n_hi: int, n_convs: int, min_rounds: int = 2,
-                     max_rounds: int = 6, target: float = 0.8):
+                     max_rounds: int = 8, target: float = 0.8):
     """Fused generate+encode job (no staging I/O): the clean N→4N probe.
 
     Pure vectorized-Python compute inside one mapInPandas — scales with
@@ -402,8 +406,13 @@ def timed_fused_pair(n_lo: int, n_hi: int, n_convs: int, min_rounds: int = 2,
     parallelism levels are INTERLEAVED across rounds and each level keeps
     its best wall — a burst cannot poison one side of the comparison.
     Rounds continue (up to ``max_rounds``) until the best-window efficiency
-    clears ``target``; ALL per-round walls are returned so the artifact
-    carries the full distribution, not just the headline number.
+    is PLAUSIBLE — within [target, ceiling]; ALL per-round walls are
+    returned so the artifact carries the full distribution, not just the
+    headline number.  The ceiling matters as much as the floor: an
+    efficiency above ~1.0 is physically impossible for this job and means
+    the LOW side's best wall is still noise-inflated (a 1.31 "superlinear"
+    window was recorded once exactly this way) — keep sampling instead of
+    stopping on a number that flatters the criterion but can't be real.
 
     Two pairs are probed by main(): 4→16 (the 4N level leaves headroom on
     the 32-core host, isolating true job scaling) and 8→32 (4N = the whole
@@ -420,7 +429,7 @@ def timed_fused_pair(n_lo: int, n_hi: int, n_convs: int, min_rounds: int = 2,
         walls_hi.append(wh)
         if r + 1 >= min_rounds:
             eff = (min(walls_lo) / min(walls_hi)) / (n_hi / n_lo)
-            if eff >= target:
+            if target <= eff <= 1.05:
                 break
     return walls_lo, walls_hi, rows
 
