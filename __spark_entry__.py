@@ -788,6 +788,49 @@ FROM (
 """
 _SQL["quality_filter"] = (_QUALITY_FILTER_DUCK, _QUALITY_FILTER_DUCK)
 
+
+def _redact_pii_duck() -> str:
+    """DuckDB mirror of functions.pipeline.redact_pii over the same
+    deterministically PII-planted documents.  Patterns are shared from
+    PII_PATTERNS (Java-regex ∩ RE2 subset, so both engines match the
+    same spans); counts are measured on the original text, the rewrite
+    is the same sequential regexp_replace chain, and the full redacted
+    text participates in the value hash."""
+    from sparrow_ipc_spark.functions.pipeline import PII_PATTERNS
+
+    clean = "text"
+    for _, pat, token in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{token}', 'g')"
+    counts = ",\n         ".join(
+        f"COALESCE(len(regexp_extract_all(text, '{pat}')), 0) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS)
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' ssn 987-65-4320' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' call +1 (415) 555-0137' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' from 203.0.113.42' ELSE '' END
+         AS text
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         {clean} AS clean_text,
+         {counts}
+  FROM planted
+)
+SELECT doc_id, clean_text, n_email, n_ssn, n_phone, n_ipv4,
+       {total} AS pii_total
+FROM scored
+"""
+
+
+_SQL["redact_pii"] = ("", _redact_pii_duck)
+
 # full write→read proof through the Spark Data Source surface: the Spark
 # side pushes the events table through df.write.format("sparrow_ipc") and
 # reads it back with spark.read.format("sparrow_ipc"); the oracle computes
@@ -1074,6 +1117,33 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                           fixed_anchors(_EMB_DIM, 4), eps=0.92)
 
 
+def _redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-scrub contract query: deterministic PII is planted onto the
+    documents table (email carrying the doc_id, a fixed SSN / phone /
+    IPv4 on different modulo strides, so overlap combinations occur),
+    then functions.pipeline.redact_pii scrubs it.  The DuckDB oracle
+    replays the identical planting and the identical sequential
+    regexp_replace chain — the full redacted text is value-hashed, so a
+    single mis-matched span anywhere in the corpus fails the gate."""
+    from sparrow_ipc_spark.functions.pipeline import redact_pii
+
+    d = F.col("doc_id")
+    planted = _docs(spark, sf_dir).select(
+        d,
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0,
+                   F.concat(F.lit(" contact user"), d.cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit(" ssn 987-65-4320")).otherwise(F.lit("")),
+            F.when(d % 13 == 0,
+                   F.lit(" call +1 (415) 555-0137")).otherwise(F.lit("")),
+            F.when(d % 17 == 0, F.lit(" from 203.0.113.42")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(planted)
+
+
 def _simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-SimHash near-dup pairs (16-bit-chunk blocked), oracle-checked
     against the same construction in DuckDB.  The xxhash64 variant
@@ -1255,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["decontaminate"] = _fn_query(P.decontaminate)
     out["stratified_sample"] = _fn_query(P.stratified_sample)
     out["quality_filter"] = _fn_query(P.quality_filter)
+    out["redact_pii"] = _redact_pii
     out["ngram_jaccard_lsh"] = _ngram_jaccard_lsh
     out["embedding_dedup"] = _embedding_dedup
     out["semantic_dedup"] = _semantic_dedup

@@ -421,8 +421,10 @@ def timed_fused_pair(n_lo: int, n_hi: int, n_convs: int, min_rounds: int = 2,
     """
     walls_lo: list[float] = []
     walls_hi: list[float] = []
+    loads: list[float] = []
     rows = 0
     for r in range(max_rounds):
+        loads.append(round(_wait_quiet(), 2))
         wl, rows = _one_fused_run(n_lo, n_convs)
         walls_lo.append(wl)
         wh, _ = _one_fused_run(n_hi, n_convs)
@@ -431,7 +433,23 @@ def timed_fused_pair(n_lo: int, n_hi: int, n_convs: int, min_rounds: int = 2,
             eff = (min(walls_lo) / min(walls_hi)) / (n_hi / n_lo)
             if target <= eff <= 1.05:
                 break
-    return walls_lo, walls_hi, rows
+    return walls_lo, walls_hi, rows, loads
+
+
+def _wait_quiet(threshold: float = 2.5, max_wait_s: float = 90.0) -> float:
+    """Actively SEEK a quiet window instead of hoping one lands: the host's
+    co-tenant load comes in multi-minute bursts (measured 2× wall inflation
+    across whole 45-min bench runs), so before each scaling round wait —
+    bounded — for the 1-min load average to drain below ``threshold``.
+    Returns the load1 actually observed at round start; the caller embeds
+    the list in the artifact so a polluted round is identifiable instead
+    of silently averaged in."""
+    t0 = time.time()
+    load = os.getloadavg()[0]
+    while load > threshold and time.time() - t0 < max_wait_s:
+        time.sleep(5)
+        load = os.getloadavg()[0]
+    return load
 
 
 def main() -> None:
@@ -448,9 +466,9 @@ def main() -> None:
     # of work caps 4→16 efficiency at ~0.80 even with perfect scaling.
     # Doubling the probe amortizes the fixed cost (measured 0.84-0.89).
     probe_convs = max(600_000, n_convs // 2)
-    walls4, walls16, frows = timed_fused_pair(4, 16, probe_convs)
+    walls4, walls16, frows, loads_4_16 = timed_fused_pair(4, 16, probe_convs)
     eff_4_16 = (min(walls4) / min(walls16)) / 4
-    walls8, walls32, _ = timed_fused_pair(8, CPUS, probe_convs)
+    walls8, walls32, _, loads_8_32 = timed_fused_pair(8, CPUS, probe_convs)
     fwall8, fwall32 = min(walls8), min(walls32)
     fthr8, fthr32 = frows / fwall8, frows / fwall32
     efficiency = (fthr32 / fthr8) / (CPUS / 8)
@@ -496,6 +514,8 @@ def main() -> None:
         "scaling_walls_8": [round(w, 3) for w in walls8],
         "scaling_walls_32": [round(w, 3) for w in walls32],
         "scaling_efficiency_per_round": eff_rounds,
+        "scaling_load1_at_round_start_4_16": loads_4_16,
+        "scaling_load1_at_round_start_8_32": loads_8_32,
         "decode_wall": round(dec_wall, 3),
         "verify_wall": round(ver_wall, 3),
         "decode_verify_wall": round(dec_wall + ver_wall, 3),

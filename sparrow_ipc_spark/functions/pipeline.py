@@ -85,6 +85,54 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float] | None = None,
     )
 
 
+# PII patterns, ordered: redaction applies them SEQUENTIALLY in this order
+# (email first so its digits can't be half-eaten by the phone pass; ssn
+# before phone because a phone match could swallow an ssn-shaped span).
+# Every pattern stays inside the Java-regex ∩ RE2 common subset — no
+# lookaround, no backreferences, ASCII classes only — so a SQL oracle
+# (DuckDB = RE2) replays the exact same matches.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+)
+
+
+def redact_pii(docs: DataFrame, col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """PII scrub — the redaction pass every training-data pipeline runs
+    before anything ships to a tokenizer: emails, SSNs, phone numbers and
+    IPv4 addresses replaced by typed placeholder tokens, with a per-type
+    match count measured on the ORIGINAL text (counts are independent
+    per pattern; the rewrite is sequential in ``PII_PATTERNS`` order, so
+    downstream counts on ``clean_text`` would see zero).
+
+    Returns ``(id_col, clean_text, n_email, n_ssn, n_phone, n_ipv4,
+    pii_total)``; a NULL input row keeps a NULL ``clean_text`` and zero
+    counts.
+
+    Scale shape: one narrow projection, zero shuffles, all JVM
+    ``regexp_replace`` / ``regexp_extract_all`` inside whole-stage
+    codegen — the per-row cost is the regex scans themselves, identical
+    on 1 row or 10^12."""
+    src = F.col(col)
+    counts = [
+        F.coalesce(F.size(F.regexp_extract_all(src, F.lit(pat), F.lit(0))),
+                   F.lit(0)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = src
+    for _, pat, token in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    out = docs.select(F.col(id_col), clean.alias("clean_text"), *counts)
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("pii_total", total)
+
+
 def quality_filter(docs: DataFrame, min_tokens: int = 5, max_tokens: int = 2000,
                    min_alpha_ratio: float = 0.6) -> DataFrame:
     """Filter verdict per document with the first failing reason:

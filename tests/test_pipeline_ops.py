@@ -81,3 +81,33 @@ def test_quality_filter_reasons(docs):
 def test_decontaminate_no_cartesian(docs):
     plan = audit.simple_plan(P.decontaminate(docs, n=5))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_redact_pii_spans_and_counts(spark):
+    rows = [
+        (0, "mail me at jane.doe+x@sub.example.org please"),
+        (1, "ssn 123-45-6789 on file"),
+        (2, "call +1 (415) 555-0137 or 555.867.5309"),
+        (3, "server at 10.0.0.1 and 203.0.113.255"),
+        (4, None),
+        (5, "clean text with no pii at all"),
+        (6, "a@b.io and 1.2.3.4 together"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in P.redact_pii(df).collect()}
+    assert out[0]["clean_text"] == "mail me at <EMAIL> please"
+    assert out[0]["n_email"] == 1 and out[0]["pii_total"] == 1
+    assert out[1]["clean_text"] == "ssn <SSN> on file"
+    assert out[1]["n_ssn"] == 1 and out[1]["n_phone"] >= 0
+    assert "<PHONE>" in out[2]["clean_text"] and out[2]["n_phone"] == 2
+    assert out[3]["clean_text"] == "server at <IPV4> and <IPV4>"
+    assert out[3]["n_ipv4"] == 2
+    assert out[4]["clean_text"] is None and out[4]["pii_total"] == 0
+    assert out[5]["clean_text"] == rows[5][1] and out[5]["pii_total"] == 0
+    assert out[6]["clean_text"] == "<EMAIL> and <IPV4> together"
+
+
+def test_redact_pii_no_shuffle(spark):
+    rows = [(i, f"doc {i} a@b.io") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert audit.count_exchanges(P.redact_pii(df)) == 0
