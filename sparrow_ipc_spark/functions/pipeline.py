@@ -94,7 +94,10 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float] | None = None,
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    ("phone", r"\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+    # country code is an optional UNIT (digits + separator together):
+    # a mandatory \d{1,3} prefix would otherwise eat the area code of a
+    # bare 3-3-4 number like 555.867.5309 and fail the remainder
+    ("phone", r"(\+?\d{1,3}[-. ])?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
 )
 
