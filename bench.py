@@ -145,6 +145,10 @@ def kernel_microbench(reps: int = 3) -> dict:
     spark.stop()
     batch = tbl.slice(0, 65536).combine_chunks().to_batches()[0]
     n = batch.num_rows
+    # single-core and brief → the most load-sensitive number in the
+    # artifact (measured 391k-628k/core across windows of one evening);
+    # wait for a quiet window before sampling
+    _wait_quiet()
     enc_best = dec_best = float("inf")
     row = None
     for _ in range(reps):

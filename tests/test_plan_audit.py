@@ -138,6 +138,12 @@ QUERY_EXCHANGE_PINS = {
     "decontaminate": 3,
     "ngram_jaccard_lsh": 12,
     "codec_roundtrip": 4,
+    # round-5 additions: dup_groups = pair graph + one broadcast attach;
+    # semantic_dedup = window + salted pair join + drop attach;
+    # redact_pii = pure narrow projection (any exchange is a regression)
+    "dup_groups": 1,
+    "semantic_dedup": 6,
+    "redact_pii": 0,
 }
 
 
