@@ -831,6 +831,42 @@ FROM scored
 
 _SQL["redact_pii"] = ("", _redact_pii_duck)
 
+
+def _url_stats_duck() -> str:
+    """DuckDB mirror of functions.text.url_stats over the same
+    deterministically URL-planted documents (pattern shared from
+    URL_PATTERN; Java-regex ∩ RE2 subset, identical spans)."""
+    from sparrow_ipc_spark.functions.text import URL_PATTERN
+
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+                      || '.example.org/p?id=' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 9 = 0
+                 THEN ' img http://cdn.example.net/x/' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END
+         AS text
+  FROM documents
+), urls AS (
+  SELECT doc_id, u.url AS url
+  FROM planted, UNNEST(regexp_extract_all(text, '{URL_PATTERN}')) AS u(url)
+  WHERE text IS NOT NULL
+)
+SELECT lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(url) AS example_url
+FROM urls
+GROUP BY 1
+"""
+
+
+_SQL["url_stats"] = ("", _url_stats_duck)
+
 # full write→read proof through the Spark Data Source surface: the Spark
 # side pushes the events table through df.write.format("sparrow_ipc") and
 # reads it back with spark.read.format("sparrow_ipc"); the oracle computes
@@ -1144,6 +1180,31 @@ def _redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(planted)
 
 
+def _url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain link-statistics contract query: deterministic URLs are
+    planted on modulo strides (20 rotating site domains + one CDN domain,
+    path carrying the doc_id) and functions.text.url_stats aggregates
+    them; the oracle replays the identical planting and extraction."""
+    from sparrow_ipc_spark.functions.text import url_stats
+
+    d = F.col("doc_id")
+    planted = _docs(spark, sf_dir).select(
+        d,
+        F.concat(
+            F.col("text"),
+            F.when(d % 5 == 0,
+                   F.concat(F.lit(" see https://site"),
+                            (d % 20).cast("string"),
+                            F.lit(".example.org/p?id="),
+                            d.cast("string"))).otherwise(F.lit("")),
+            F.when(d % 9 == 0,
+                   F.concat(F.lit(" img http://cdn.example.net/x/"),
+                            d.cast("string"))).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return url_stats(planted)
+
+
 def _simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-SimHash near-dup pairs (16-bit-chunk blocked), oracle-checked
     against the same construction in DuckDB.  The xxhash64 variant
@@ -1326,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stratified_sample"] = _fn_query(P.stratified_sample)
     out["quality_filter"] = _fn_query(P.quality_filter)
     out["redact_pii"] = _redact_pii
+    out["url_stats"] = _url_stats
     out["ngram_jaccard_lsh"] = _ngram_jaccard_lsh
     out["embedding_dedup"] = _embedding_dedup
     out["semantic_dedup"] = _semantic_dedup

@@ -123,3 +123,44 @@ def vocab_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Dat
         F.count("*").cast("long").alias("tf"),
         F.countDistinct(id_col).cast("long").alias("df"),
     )
+
+
+# URL pattern in the Java-regex ∩ RE2 common subset.  The character class
+# deliberately omits quotes/parens (so quoted or parenthesized URLs don't
+# drag closing punctuation in) — a trailing sentence dot IS included, which
+# is the standard crude-extractor trade-off; both engines of an oracle pair
+# see identical spans either way.
+URL_PATTERN = r"https?://[A-Za-z0-9._~:/?#@!$&*+,;=%-]+"
+_DOMAIN_OF_URL = r"^[A-Za-z]+://([^/:?#]+)"
+
+
+def extract_urls(df: DataFrame, col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """One row per URL occurrence: ``(id_col, url, domain)``.  Domain is
+    the lowercased authority (host) component.  Pure narrow explode —
+    shuffle-free, whole-stage codegen."""
+    urls = F.explode(
+        F.regexp_extract_all(F.col(col), F.lit(URL_PATTERN), F.lit(0)))
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(id_col), urls.alias("url"))
+        .withColumn("domain",
+                    F.lower(F.regexp_extract(F.col("url"),
+                                             _DOMAIN_OF_URL, 1)))
+    )
+
+
+def url_stats(df: DataFrame, col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-domain link statistics over a web corpus — the input to
+    domain-level filtering/blocklists: ``(domain, n_urls, n_docs,
+    example_url)``.  One explode + one groupBy on domain; the shuffle is
+    bounded by URL occurrences and map-side partial aggregation makes the
+    per-domain reduce O(distinct domains)."""
+    return (
+        extract_urls(df, col, id_col)
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_urls"),
+             F.count_distinct(F.col(id_col)).alias("n_docs"),
+             F.min("url").alias("example_url"))
+    )

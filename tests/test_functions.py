@@ -366,3 +366,25 @@ def test_dup_groups_canonical(spark):
     assert rows[2]["canonical"] and not rows[3]["canonical"]
     assert rows[3]["group_id"] == 2
     assert all(rows[i]["canonical"] for i in (0, 1))
+
+
+def test_extract_urls_and_domains(spark):
+    from sparrow_ipc_spark.functions.text import extract_urls, url_stats
+
+    rows = [
+        (0, "read https://Docs.Example.org/a/b?x=1 and http://cdn.net/i.png"),
+        (1, "bare text no links"),
+        (2, None),
+        (3, "dup https://docs.example.org/c https://docs.example.org/c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    urls = extract_urls(df).collect()
+    assert {r["url"] for r in urls} == {
+        "https://Docs.Example.org/a/b?x=1", "http://cdn.net/i.png",
+        "https://docs.example.org/c"} | set()
+    assert len(urls) == 4  # the duplicate occurrence is kept (occurrence rows)
+    assert {r["domain"] for r in urls} == {"docs.example.org", "cdn.net"}
+    stats = {r["domain"]: r for r in url_stats(df).collect()}
+    assert stats["docs.example.org"]["n_urls"] == 3
+    assert stats["docs.example.org"]["n_docs"] == 2
+    assert stats["cdn.net"]["n_urls"] == 1 and stats["cdn.net"]["n_docs"] == 1
