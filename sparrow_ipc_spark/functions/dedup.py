@@ -18,6 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 TOKEN_SPLIT = r"\s+"
+# TOKEN_SPLIT as it must appear inside a generated SQL string literal
+# (SQL literals consume one level of backslash escaping)
+TOKEN_SPLIT_SQL = TOKEN_SPLIT.replace("\\", "\\\\")
 
 
 def exact_dedup(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -86,14 +89,26 @@ def minhash_signatures(df: DataFrame, col: str = "text", id_col: str = "doc_id",
     """One min-hash per band per doc: (id, band, min_hash).
 
     Band-salted md5 over word tokens — a k-mins sketch with k = n_bands.
-    groupBy(id, band) runs with map-side partial MIN, so the shuffle
-    carries one row per (doc, band), not per token."""
-    bands = F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band")
-    toks = _tokens(df, col, id_col).select(id_col, "tok", bands)
-    h = F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("tok")))
-    return (
-        toks.groupBy(id_col, "band").agg(F.min(h).alias("min_hash"))
-    )
+    Shape: ZERO shuffles.  Each band's minimum is a function of one
+    document's own tokens, so it is an ``array_min`` over the token array
+    (bit-identical to the grouped MIN: same md5 strings, same string
+    ordering) and the per-token rows never leave their document's row;
+    the old explode → groupBy(id, band) shuffled one row per (doc, band)
+    for values computable in place.  Generated SQL build + spread scan."""
+    from sparrow_ipc_spark.functions.util import ident, spread
+
+    i, c = ident(id_col), ident(col)
+    sigs = ", ".join(
+        f"struct({b} AS band, array_min(transform(_t, t ->"
+        f" md5(concat('{b}', '|', t)))) AS min_hash)"
+        for b in range(n_bands))
+    spread(df).createOrReplaceTempView("_sipc_minsig_in")
+    return df.sparkSession.sql(f"""
+      SELECT {i}, _s.band AS band, _s.min_hash AS min_hash FROM (
+        SELECT {i}, explode(array({sigs})) AS _s
+        FROM (SELECT {i}, split(trim({c}), '{TOKEN_SPLIT_SQL}') AS _t
+              FROM _sipc_minsig_in
+              WHERE {c} IS NOT NULL AND length(trim({c})) > 0))""")
 
 
 def lsh_pairs(df: DataFrame, col: str = "text", id_col: str = "doc_id",
@@ -108,27 +123,39 @@ def lsh_pairs(df: DataFrame, col: str = "text", id_col: str = "doc_id",
     corpora (measured: 51% of all pairs collide at sf0.1 — an O(n²)
     candidate set); 3-gram shingles keep s near zero for non-duplicates, so
     the candidate set tracks true near-duplicates."""
-    bands = F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band")
-    toks = _shingles(df, col, id_col, shingle_n).select(id_col, "tok", bands)
+    # Implementation (round-6 measurements): generated SQL build (the
+    # Column-API build cost seconds of py4j round trips) over a spread
+    # scan (a one-file input otherwise runs the 16-hashes-per-shingle map
+    # stage on one core).  The signature keeps the explode → groupBy(id,
+    # band) shape: 16 codegen'd md5+MIN aggregates measured faster than
+    # the interpreted row-local array_min variant, and the shuffle
+    # carries one row per (doc, band) thanks to partial MIN.
+    from sparrow_ipc_spark.functions.util import ident, spread
 
-    def _h(salt: str):
-        return F.md5(
-            F.concat(F.lit(salt), F.col("band").cast("string"), F.lit("|"), F.col("tok"))
-        )
-
-    aggs = [F.min(_h(chr(97 + r))).alias(f"m{r}") for r in range(rows_per_band)]
-    # sig feeds BOTH sides of the self-join: without persist Spark recomputes
-    # the tokenize+explode+groupBy lineage twice (once per side)
-    sig = toks.groupBy(id_col, "band").agg(*aggs).persist()
-    keys = ["band"] + [f"m{r}" for r in range(rows_per_band)]
-    a = sig.select(F.col(id_col).alias("id_a"), *keys)
-    b = sig.select(F.col(id_col).alias("id_b"), *keys)
-    return (
-        a.join(b, keys)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    i, c = ident(id_col), ident(col)
+    spark = df.sparkSession
+    mins = ", ".join(
+        f"MIN(md5(concat('{chr(97 + r)}', CAST(band AS STRING), '|', tok))) AS m{r}"
+        for r in range(rows_per_band))
+    spread(df).createOrReplaceTempView("_sipc_lsh_in")
+    # sig feeds BOTH sides of the self-join: without persist Spark
+    # recomputes the shingle+hash aggregation twice (once per side)
+    sig = spark.sql(f"""
+      SELECT {i}, band, {mins}
+      FROM (SELECT {i}, explode(transform(sequence(0, greatest(size(_t) - {shingle_n}, 0)),
+                                          x -> concat_ws(' ', slice(_t, x + 1, {shingle_n})))) AS tok
+            FROM (SELECT {i}, split(trim({c}), '{TOKEN_SPLIT_SQL}') AS _t
+                  FROM _sipc_lsh_in
+                  WHERE {c} IS NOT NULL AND length(trim({c})) > 0))
+      LATERAL VIEW explode(array({', '.join(str(b) for b in range(n_bands))})) AS band
+      GROUP BY {i}, band""").persist()
+    sig.createOrReplaceTempView("_sipc_lsh_sig")
+    keys = " AND ".join(["a.band = b.band"]
+                        + [f"a.m{r} = b.m{r}" for r in range(rows_per_band)])
+    return spark.sql(f"""
+      SELECT DISTINCT a.{i} AS id_a, b.{i} AS id_b
+      FROM _sipc_lsh_sig a JOIN _sipc_lsh_sig b
+        ON {keys} AND a.{i} < b.{i}""")
 
 
 def simhash64(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -162,29 +189,49 @@ def simhash_md5(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Dat
     hex string — the oracle-parity variant of :func:`simhash64` (md5 is the
     one hash both Spark and DuckDB evaluate identically; xxhash64 has no
     DuckDB analog).  Bit j of hex digit k votes ±1 per token; digit k of the
-    output is reassembled from the four vote signs."""
-    toks = _tokens(df, col, id_col)
-    h = F.md5("tok")
-    dvs = toks.select(
-        id_col,
-        *[(F.instr(F.lit(_HEX), F.substring(h, k + 1, 1)) - 1).alias(f"d{k}")
-          for k in range(16)],
-    )
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col(f"d{k}"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{k}_{j}")
-        for k in range(16)
-        for j in range(4)
-    ]
-    votes = dvs.groupBy(id_col).agg(*aggs)
-    digits = []
-    for k in range(16):
-        dig = F.lit(0)
-        for j in range(4):
-            dig = dig + F.when(F.col(f"v{k}_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        digits.append(F.substring(F.lit(_HEX), dig + 1, 1))
-    return votes.select(F.col(id_col), F.concat(*digits).alias("simhash"))
+    output is reassembled from the four vote signs.
+
+    Implementation (round-6 measurements): the plan is generated SQL text
+    (one ``spark.sql`` — the Column-API build alone cost 3-7 s of py4j
+    round trips), the scan is :func:`util.spread` so the per-token work
+    parallelizes past a one-file input, and the 16 hex digits are parsed
+    once per token into two 32-bit ints (``conv``) so each of the 64 vote
+    terms is a shift-and-mask instead of a substr+instr — identical
+    digits, identical votes, ~3× less per-token work."""
+    from sparrow_ipc_spark.functions.util import ident, spread
+
+    spark = df.sparkSession
+    c, i = ident(col), ident(id_col)
+    hexs = f"'{_HEX}'"
+    # char k+1 of the md5 hex = nibble k of the parsed 64-bit prefix:
+    # hi holds chars 1-8 (digit k at bits 4*(7-k)), lo holds chars 9-16
+    # vote sum for (digit k, bit j) = 2·(set-bit count) − n, so "votes
+    # positive" ⟺ 2·c > n: summing bare bits + one COUNT compiles to far
+    # smaller codegen than 64 CASE ±1 sums (ties 2c = n give bit 0, same
+    # as a zero vote sum)
+    def bitpos(k: int, j: int) -> str:
+        return (f"((hi >> {4 * (7 - k) + j}) & 1)" if k < 8
+                else f"((lo >> {4 * (15 - k) + j}) & 1)")
+
+    votes = ", ".join(
+        f"SUM({bitpos(k, j)}) AS c{k}_{j}" for k in range(16) for j in range(4))
+    dig = " || ".join(
+        f"substr({hexs}, 1 + "
+        + " + ".join(f"(CASE WHEN 2 * c{k}_{j} > n THEN {1 << j} ELSE 0 END)"
+                     for j in range(4))
+        + ", 1)"
+        for k in range(16))
+    spread(df).createOrReplaceTempView("_sipc_simhash_in")
+    return spark.sql(f"""
+      WITH tok AS (
+        SELECT {i}, CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT) AS hi,
+                    CAST(conv(substr(h, 9, 8), 16, 10) AS BIGINT) AS lo
+        FROM (SELECT {i}, md5(tok) AS h
+              FROM (SELECT {i}, explode(split(trim({c}), '{TOKEN_SPLIT_SQL}')) AS tok
+                    FROM _sipc_simhash_in
+                    WHERE {c} IS NOT NULL AND length(trim({c})) > 0))
+      ), votes AS (SELECT {i}, COUNT(1) AS n, {votes} FROM tok GROUP BY {i})
+      SELECT {i}, {dig} AS simhash FROM votes""")
 
 
 def simhash_near_pairs(df: DataFrame, col: str = "text", id_col: str = "doc_id",
@@ -228,72 +275,69 @@ def simhash_near_pairs_md5(df: DataFrame, col: str = "text", id_col: str = "doc_
 
     Same blocked shape: candidates share one of four 4-hex-digit (16-bit)
     chunks — by pigeonhole every pair within Hamming distance 3 shares a
-    chunk — then exact Hamming distance summed per hex digit via
-    ``bit_count(xor(digit_a, digit_b))``.  One equality-join on
-    (chunk, value); no all-pairs anywhere."""
+    chunk — then exact Hamming distance as ``bit_count`` over the xor of
+    the two fingerprints parsed back to 32-bit halves (``conv``): the sum
+    of per-hex-digit popcounts IS the popcount of the 64-bit xor, so this
+    is the identical number with 2 ops per pair instead of 16 substr+instr
+    pairs.  One equality-join on (chunk, value); no all-pairs anywhere.
+    Plan is generated SQL (py4j-light build, see :mod:`util`)."""
+    from sparrow_ipc_spark.functions.util import ident
+
     sh = simhash_md5(df, col, id_col).persist()  # feeds both join sides
-    chunk_arr = F.array(*[F.substring("simhash", 1 + 4 * i, 4) for i in range(4)])
-    blocked = sh.select(F.col(id_col), "simhash",
-                        F.posexplode(chunk_arr).alias("chunk", "val"))
-    a = blocked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
-                       "chunk", "val")
-    b = blocked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
-                       "chunk", "val")
-    ham = F.lit(0)
-    for k in range(16):
-        da = F.instr(F.lit(_HEX), F.substring("sh_a", k + 1, 1)) - 1
-        db = F.instr(F.lit(_HEX), F.substring("sh_b", k + 1, 1)) - 1
-        ham = ham + F.bit_count(da.bitwiseXOR(db).cast("long"))
-    return (
-        a.join(b, ["chunk", "val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    sh.createOrReplaceTempView("_sipc_shnp_sh")
+    i = ident(id_col)
+    return df.sparkSession.sql(f"""
+      WITH c AS (
+        SELECT {i},
+               CAST(conv(substr(simhash, 1, 8), 16, 10) AS BIGINT) AS hi,
+               CAST(conv(substr(simhash, 9, 8), 16, 10) AS BIGINT) AS lo,
+               posexplode(array(substr(simhash, 1, 4), substr(simhash, 5, 4),
+                                substr(simhash, 9, 4), substr(simhash, 13, 4)))
+                 AS (chunk, val)
+        FROM _sipc_shnp_sh)
+      SELECT DISTINCT a.{i} AS id_a, b.{i} AS id_b,
+             CAST(bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) AS BIGINT)
+               AS hamming
+      FROM c a JOIN c b ON a.chunk = b.chunk AND a.val = b.val AND a.{i} < b.{i}
+      WHERE bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) <= {int(max_hamming)}""")
 
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, col: str = "text",
                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Exact word n-gram Jaccard similarity for candidate pairs.
 
-    Pairwise verify stage after blocking (LSH/prefix): set sizes via
-    distinct n-grams per doc, intersection via join on n-gram."""
-    t = F.trim(F.col(col))
-    toks = df.where(F.col(col).isNotNull() & (F.length(t) > 0)).select(
-        F.col(id_col), F.split(t, TOKEN_SPLIT).alias("_toks")
-    )
-    grams = toks.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)),
-            )
-        ).alias("gram"),
-    ).distinct().persist()  # read 3× below (sizes + both join sides)
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
-    ga = grams.select(F.col(id_col).alias("id_a"), "gram")
-    gb = grams.select(F.col(id_col).alias("id_b"), "gram")
-    inter = (
-        pairs.join(ga, "id_a").join(gb, ["id_b", "gram"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    # LEFT join back onto the candidate set: a pair with zero shared grams
-    # must verify as jaccard = 0.0, not silently vanish (callers reading
-    # absence as "never scored" would mis-account candidates vs verdicts)
-    return (
-        pairs.select("id_a", "id_b")
-        .join(inter, ["id_a", "id_b"], "left")
-        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
-        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .select(
-            "id_a", "id_b",
-            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
-        )
-    )
+    Pairwise verify stage after blocking (LSH/prefix): per-doc DISTINCT
+    gram sets stay as row-local arrays (``array_distinct`` — no global
+    distinct shuffle), each pair attaches both docs' sets by two id-keyed
+    joins, and the intersection is ``array_intersect`` inside the row.
+    A pair with zero shared grams verifies as jaccard = 0.0 (it must not
+    silently vanish — callers reading absence as "never scored" would
+    mis-account candidates vs verdicts); the inner join on the gram table
+    drops only docs with no text, which cannot appear in blocked pairs.
+    Scale: the joins ship one gram-array row per pair side — strictly
+    fewer bytes than the old exploded (id, gram) join, and the
+    (candidate × gram) intermediate never exists.  Generated SQL build
+    over a spread scan."""
+    from sparrow_ipc_spark.functions.util import ident, spread
+
+    i, c = ident(id_col), ident(col)
+    spread(df).createOrReplaceTempView("_sipc_ngj_docs")
+    pairs.createOrReplaceTempView("_sipc_ngj_pairs")
+    return df.sparkSession.sql(f"""
+      WITH d AS (
+        SELECT {i}, _gs, size(_gs) AS _sz FROM (
+          SELECT {i}, array_distinct(transform(sequence(0, greatest(size(_t) - {n}, 0)),
+                                               x -> concat_ws(' ', slice(_t, x + 1, {n})))) AS _gs
+          FROM (SELECT {i}, split(trim({c}), '{TOKEN_SPLIT_SQL}') AS _t
+                FROM _sipc_ngj_docs
+                WHERE {c} IS NOT NULL AND length(trim({c})) > 0))
+      )
+      SELECT p.id_a, p.id_b,
+             size(array_intersect(da._gs, db._gs))
+               / (da._sz + db._sz - size(array_intersect(da._gs, db._gs))) AS jaccard
+      FROM (SELECT id_a, id_b FROM _sipc_ngj_pairs) p
+      JOIN d da ON da.{i} = p.id_a
+      JOIN d db ON db.{i} = p.id_b""")
 
 
 def duplicated_spans(df: DataFrame, k: int = 5, col: str = "text",
@@ -305,35 +349,53 @@ def duplicated_spans(df: DataFrame, k: int = 5, col: str = "text",
     ``>= min_docs`` DISTINCT documents are reported with document
     frequency, total occurrence count and a deterministic example.
 
-    Scale shape: one explode + one groupBy on the span hash — map-side
-    partial aggregation bounds the shuffle by the number of DISTINCT
-    spans, and no join or window function appears anywhere.  md5 keeps
-    the hash oracle-replicable in DuckDB."""
-    t = F.trim(F.col(col))
-    toks = (
-        df.where(F.col(col).isNotNull() & (F.length(t) > 0))
-        .select(F.col(id_col), F.split(t, TOKEN_SPLIT).alias("_toks"))
-        .where(F.size("_toks") >= k)
-    )
-    spans = toks.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_toks") - k),
-                lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, k)),
-            )
-        ).alias("span"),
-    )
-    return (
-        spans.groupBy(F.md5("span").alias("span_hash"))
-        .agg(
-            F.count_distinct(F.col(id_col)).alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.min(F.col(id_col)).alias("example_doc"),
-            F.min("span").alias("span"),
-        )
-        .where(F.col("n_docs") >= min_docs)
-    )
+    Scale shape: one explode of per-doc DISTINCT spans + one groupBy on
+    the span hash.  Within-document occurrence counts are computed
+    row-locally first (sort the span array, run-length scan via
+    ``zip_with`` over the run starts), so the exploded rows are
+    (doc, span, in_doc_count) — one per DISTINCT (doc, span) — and the
+    global aggregate needs no COUNT(DISTINCT) expansion: n_docs is a
+    plain COUNT(*), n_occurrences a SUM.  Shuffle is bounded by distinct
+    (doc, span) pairs with map-side partial aggregation; no join or
+    window function anywhere.  md5 keeps the hash oracle-replicable in
+    DuckDB."""
+    from sparrow_ipc_spark.functions.util import ident, spread
+
+    i, c = ident(id_col), ident(col)
+    spread(df).createOrReplaceTempView("_sipc_spans_in")
+    # run starts (0-based) in the sorted span array; run length = gap to
+    # the next start (or the array end) — spans are never null
+    return df.sparkSession.sql(f"""
+      WITH toks AS (
+        SELECT {i}, _toks FROM (
+          SELECT {i}, split(trim({c}), '{TOKEN_SPLIT_SQL}') AS _toks
+          FROM _sipc_spans_in
+          WHERE {c} IS NOT NULL AND length(trim({c})) > 0)
+        WHERE size(_toks) >= {k}
+      ), srt AS (
+        SELECT {i}, array_sort(transform(sequence(0, size(_toks) - {k}),
+                                         x -> concat_ws(' ', slice(_toks, x + 1, {k})))) AS _srt
+        FROM toks
+      ), st AS (
+        SELECT {i}, _srt,
+               filter(sequence(0, size(_srt) - 1),
+                      x -> x = 0 OR element_at(_srt, x + 1) != element_at(_srt, x)) AS _starts
+        FROM srt
+      ), runs AS (
+        SELECT {i}, explode(zip_with(_starts,
+                     concat(slice(_starts, 2, greatest(size(_starts) - 1, 0)),
+                            array(size(_srt))),
+                     (s, e) -> struct(element_at(_srt, s + 1) AS span,
+                                      CAST(e - s AS BIGINT) AS c))) AS _r
+        FROM st
+      )
+      SELECT md5(_r.span) AS span_hash,
+             COUNT(1) AS n_docs,
+             SUM(_r.c) AS n_occurrences,
+             MIN({i}) AS example_doc,
+             MIN(_r.span) AS span
+      FROM runs GROUP BY md5(_r.span)
+      HAVING COUNT(1) >= {int(min_docs)}""")
 
 
 def connected_components(edges: DataFrame, nodes: DataFrame,

@@ -13,16 +13,20 @@ from pyspark.sql import DataFrame, functions as F
 
 def _word_ngrams(docs: DataFrame, n: int, id_col: str = "doc_id",
                  col: str = "text") -> DataFrame:
-    """Distinct word n-grams per document: (id_col, gram)."""
+    """Distinct word n-grams per document: (id_col, gram).
+
+    The DISTINCT is per document, so it runs row-locally over the gram
+    array (``array_distinct``) before the explode — no shuffle; the old
+    explode-then-global-``.distinct()`` paid a full (id, gram) exchange
+    for a set that never crossed document boundaries."""
     t = F.split(F.trim(F.col(col)), r"\s+")
-    grams = F.transform(
+    grams = F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
-    )
+    ))
     return (
         docs.where(F.col(col).isNotNull() & (F.length(F.trim(F.col(col))) > 0))
         .select(F.col(id_col), F.explode(grams).alias("gram"))
-        .distinct()
     )
 
 
@@ -31,19 +35,31 @@ def decontaminate(docs: DataFrame, n: int = 5, bench_mod: int = 97) -> DataFrame
     with a benchmark document (here: every ``bench_mod``-th doc stands in
     for the eval set).  Returns (corpus_id, bench_id, n_shared) pairs.
 
-    100 TB shape: the n-gram join is blocked on the gram value — one
-    shuffle each side, no all-pairs; the benchmark side of a real run is
-    small enough to broadcast, and gram-frequency skew is bounded because
-    grams are ``n`` words long (hapax-dominated at n ≥ 5)."""
-    is_bench = (F.col("doc_id") % bench_mod) == 0
-    grams = _word_ngrams(docs, n)
-    bench = grams.where(is_bench).select(F.col("doc_id").alias("bench_id"), "gram")
-    corpus = grams.where(~is_bench).select(F.col("doc_id").alias("corpus_id"), "gram")
-    return (
-        corpus.join(F.broadcast(bench), "gram")
-        .groupBy("corpus_id", "bench_id")
-        .agg(F.count("*").cast("long").alias("n_shared"))
-    )
+    100 TB shape: per-doc DISTINCT grams are row-local arrays
+    (``array_distinct`` — no global distinct shuffle), the n-gram join is
+    blocked on the gram value with the benchmark side broadcast (one
+    shuffle total, for the final pair aggregation), and gram-frequency
+    skew is bounded because grams are ``n`` words long (hapax-dominated
+    at n ≥ 5).  Generated-SQL build over a spread scan (round-6: py4j
+    build cost + one-file single-task scans dominated the wall)."""
+    from sparrow_ipc_spark.functions.util import spread
+
+    spread(docs).createOrReplaceTempView("_sipc_decon_in")
+    return docs.sparkSession.sql(f"""
+      WITH g AS (
+        SELECT doc_id, explode(array_distinct(
+                 transform(sequence(0, greatest(size(_t) - {n}, 0)),
+                           x -> concat_ws(' ', slice(_t, x + 1, {n}))))) AS gram
+        FROM (SELECT doc_id, split(trim(text), '\\\\s+') AS _t
+              FROM _sipc_decon_in
+              WHERE text IS NOT NULL AND length(trim(text)) > 0)
+      )
+      SELECT /*+ BROADCAST(b) */ c.doc_id AS corpus_id, b.doc_id AS bench_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM (SELECT * FROM g WHERE doc_id % {bench_mod} != 0) c
+      JOIN (SELECT * FROM g WHERE doc_id % {bench_mod} = 0) b
+        ON c.gram = b.gram
+      GROUP BY c.doc_id, b.doc_id""")
 
 
 # per-stratum keep thresholds: a doc is kept when the first 4 hex chars of
@@ -115,10 +131,15 @@ def redact_pii(docs: DataFrame, col: str = "text",
     pii_total)``; a NULL input row keeps a NULL ``clean_text`` and zero
     counts.
 
-    Scale shape: one narrow projection, zero shuffles, all JVM
-    ``regexp_replace`` / ``regexp_extract_all`` inside whole-stage
-    codegen — the per-row cost is the regex scans themselves, identical
-    on 1 row or 10^12."""
+    Scale shape: one narrow projection, all JVM ``regexp_replace`` /
+    ``regexp_extract_all`` inside whole-stage codegen — the per-row cost
+    is the regex scans themselves, identical on 1 row or 10^12.  The
+    input scan is spread (util.spread) so nine regex passes per row
+    parallelize past a one-file input; on a well-partitioned table the
+    operator stays exchange-free."""
+    from sparrow_ipc_spark.functions.util import spread
+
+    docs = spread(docs)
     src = F.col(col)
     counts = [
         F.coalesce(F.size(F.regexp_extract_all(src, F.lit(pat), F.lit(0))),

@@ -1,7 +1,7 @@
 """Embedding similarity search over an array<float> column.
 
 * ``cosine_topk`` — brute-force exact top-k against one query vector:
-  JVM-side ``zip_with``/``aggregate`` dot products, a single scan, no
+  JVM-side codegen'd dot-product folds, a single scan, no
   shuffle except the final top-k (``orderBy ... limit`` runs as a
   per-partition TakeOrdered + driver merge).
 * ``rhp_buckets`` / ``ann_topk`` — random-hyperplane LSH: sign bits of
@@ -15,33 +15,80 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
+# ---------------------------------------------------------------------------
+# Generated-SQL fold expressions (round-6 optimization).
+#
+# The similarity kernels were interpreted ``aggregate``/``zip_with`` folds:
+# higher-order functions are CodegenFallback, so every pair cosine in a
+# join output paid per-element interpreted evaluation, and building the
+# Column trees cost one py4j round trip per centroid element (seconds for
+# k×64 literals).  Each helper below emits ONE SQL string with the exact
+# same left-associative fold (initial 0.0, identical cast/promotion per
+# term), so Catalyst sees the identical arithmetic but whole-stage
+# codegen compiles it and the driver builds it in microseconds.
+# ---------------------------------------------------------------------------
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
+
+def _dlit(v: float) -> str:
+    """Exact double literal: repr() round-trips IEEE, the CAST parses it
+    back to the identical bits (same contract as F.lit(float(v)))."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
 
 
-def _norm(c):
-    # square in DOUBLE (float32 squares would quantize each term to 1e-8
-    # relative — double keeps the whole fold IEEE-reproducible in any
-    # engine that sums CAST(x AS DOUBLE)² left-associatively)
-    return F.sqrt(F.aggregate(F.col(c) if isinstance(c, str) else c,
-                              F.lit(0.0).cast("double"),
-                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
+def _darr(vec) -> str:
+    """Literal array<double> for generated SQL."""
+    return "array(" + ", ".join(_dlit(v) for v in vec) + ")"
+
+
+# --- k-wide fold banks: HOF text, NOT explicit chains -----------------------
+# One explicit 64-term chain compiles to ~10-20 KB of generated Java and
+# codegen handles it; an ARRAY of k such folds in one projection crosses
+# Janino's hard 64 KB/method limit, and Spark then pays a FAILED compile
+# (~2 s, re-paid on every execution) before falling back to interpreted
+# eval — measured 22-45 s walls on ivf_assign/semantic_dedup.  Wide banks
+# therefore stay as higher-order-function text (the original interpreted
+# fold, now just built as SQL instead of py4j Columns); single folds use
+# the codegen chains above.
+
+
+def _sqd_hof_sql(vec: str, centroid) -> str:
+    """HOF text of the original ``zip_with(v, c, (x-y)*(x-y))`` +
+    ``aggregate(.., 0.0D, acc + t)`` fold — identical analyzer casts,
+    identical left-assoc double sum."""
+    return (f"aggregate(zip_with({vec}, {_darr(centroid)},"
+            f" (x, y) -> (x - y) * (x - y)), 0.0D, (acc, t) -> acc + t)")
+
+
+def _dot_hof_sql(vec: str, q) -> str:
+    """HOF text of the original ``zip_with(a, b, x*y)`` +
+    ``aggregate(.., 0.0D, acc + x)`` fold."""
+    return (f"aggregate(zip_with({vec}, {_darr(q)},"
+            f" (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+
+
+def _norm_hof_sql(vec: str) -> str:
+    """HOF text of the original ``aggregate(c, 0.0D, acc +
+    CAST(x AS DOUBLE) * CAST(x AS DOUBLE))`` norm fold (full array
+    length, like the old Column version)."""
+    return (f"sqrt(aggregate({vec}, 0.0D,"
+            f" (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
 
 
 def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Exact top-k cosine neighbors of a literal query vector."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    """Exact top-k cosine neighbors of a literal query vector (one
+    generated-SQL fold — the fastest measured shape for this single-fold
+    scan; the old Column build alone cost ~dim py4j round trips)."""
+    from sparrow_ipc_spark.functions.util import ident
+
+    v = ident(vec_col)
     qn = float(np.sqrt(np.dot(query_vec, query_vec)))
     # try_divide: an all-zero vector (or zero query) yields NULL cosine —
     # sorted after every real score by desc-nulls-last — instead of a
     # fatal DIVIDE_BY_ZERO under the session's default ANSI mode
-    cos = F.try_divide(_dot(F.col(vec_col), q), _norm(vec_col) * F.lit(qn))
+    cos = F.expr(
+        f"try_divide({_dot_hof_sql(v, query_vec)},"
+        f" {_norm_hof_sql(v)} * {_dlit(qn)})")
     return (
         df.select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)
@@ -58,17 +105,22 @@ def rhp_buckets(df: DataFrame, dim: int, n_planes: int = 12, seed: int = 42,
                 vec_col: str = "embedding") -> DataFrame:
     """Append a random-hyperplane LSH bucket id column ``bucket``.
 
-    Deterministic hyperplanes (seeded) as literal arrays → the projection
-    is a JVM-side aggregate per plane; bucket = sign-bit integer."""
+    Deterministic hyperplanes (seeded) as double literals → each plane's
+    sign bit comes from the same fold as before, built as ONE SQL string
+    instead of n_planes × dim py4j literals.  The n_planes-wide bank
+    stays HOF text (see the fold-bank note above: an explicit chain bank
+    would blow the 64 KB codegen method limit and run slower than
+    interpreted after the failed compile)."""
+    from sparrow_ipc_spark.functions.util import ident, spread
+
     planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(v)) for v in p])
-        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
-    return df.withColumn("bucket", bucket)
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_hof_sql(ident(vec_col), p)} >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return spread(df).withColumn(
+        "bucket", F.expr(f"CAST({terms} AS BIGINT)" if terms
+                         else "CAST(0 AS BIGINT)"))
 
 
 def ann_topk(df: DataFrame, query_vec: list[float], k: int = 10, n_planes: int = 12,
@@ -202,21 +254,24 @@ def ivf_centroids_distributed(df: DataFrame, n_centroids: int = 16, seed: int = 
     return c
 
 
-def _sq_dist(v, centroid: np.ndarray):
-    plane = F.array(*[F.lit(float(t)) for t in centroid])
-    return F.aggregate(
-        F.zip_with(v, plane, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0).cast("double"), lambda acc, t: acc + t,
-    )
-
-
 def ivf_assign(df: DataFrame, centroids: np.ndarray,
                vec_col: str = "embedding") -> DataFrame:
-    """Append the nearest-centroid id as ``cluster`` (JVM-side expressions;
-    at scale this is the partition/bucket key for the inverted lists)."""
-    dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
-    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    return df.withColumn("cluster", cluster)
+    """Append the nearest-centroid id as ``cluster`` (one generated-SQL
+    expression — the old Column build cost k×dim py4j round trips; at
+    scale this is the partition/bucket key for the inverted lists).  The
+    k-wide distance bank stays HOF text (fold-bank note above), and the
+    distance array is materialized as its own projection so argmin's two
+    references don't recompute the k×dim folds."""
+    from sparrow_ipc_spark.functions.util import ident
+
+    arr = "array(" + ", ".join(
+        _sqd_hof_sql(ident(vec_col), c) for c in centroids) + ")"
+    return (
+        df.withColumn("_dists", F.expr(arr))
+        .withColumn("cluster", F.expr(
+            "CAST(array_position(_dists, array_min(_dists)) - 1 AS INT)"))
+        .drop("_dists")
+    )
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -240,15 +295,32 @@ def pairwise_cosine_dedup(df: DataFrame, threshold: float = 0.95, n_planes: int 
                           seed: int = 42, vec_col: str = "embedding",
                           id_col: str = "vec_id") -> DataFrame:
     """Embedding near-duplicate pairs: LSH bucket join (no O(n²) scan),
-    exact cosine within buckets, keep pairs ≥ threshold."""
+    exact cosine within buckets, keep pairs ≥ threshold.
+
+    The pair cosine is the original zip_with fold as generated-SQL text
+    (fold-bank note above: HOF text measured fastest in the join stage).
+    Per-row norms are computed ONCE before the join (the fold order is
+    unchanged, so the value is bit-identical to folding them per pair);
+    the per-pair product keeps the original float×float multiply so
+    every admitted pair's cosine matches the previous implementation bit
+    for bit."""
+    from sparrow_ipc_spark.functions.util import ident, spread
+
     first = df.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"]) if first else 0
-    b = rhp_buckets(df, dim, n_planes, seed, vec_col)
-    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    b = rhp_buckets(spread(df), dim, n_planes, seed, vec_col).withColumn(
+        "_nrm", F.expr(_norm_hof_sql(ident(vec_col))))
+    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                 F.col("_nrm").alias("na"), "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                 F.col("_nrm").alias("nb"), "bucket")
     # try_divide: zero vectors score NULL (dropped by the >= threshold
     # filter) instead of throwing under ANSI mode
-    cos = F.try_divide(_dot(F.col("va"), F.col("vb")), _norm("va") * _norm("vb"))
+    # join-output fold: HOF text (measured: the interpreted zip_with fold
+    # beats a 64-term chain in the join stage 6-8×, and a chain risks the
+    # codegen method limit) — the exact original _dot semantics
+    cos = F.expr("try_divide(aggregate(zip_with(va, vb, (x, y) -> x * y),"
+                 " 0.0D, (acc, x) -> acc + x), na * nb)")
     return (
         a.join(c, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
@@ -312,53 +384,88 @@ def semantic_dedup(df: DataFrame, centroids: np.ndarray, eps: float = 0.92,
       on it) rather than salted, since the drop rule needs all pairs.
     * ``try_divide`` + NULLS LAST: a zero vector ranks last and can never
       drop (NULL cosine fails ``>= eps``) instead of crashing ANSI mode.
+    * Round-6: the whole plan is generated SQL (the Column build of k×dim
+      literal folds cost seconds of py4j), the folds are codegen'd
+      explicit sums (the interpreted per-pair ``aggregate`` was the
+      dominant exec cost — the join output is O(|cluster|²) rows × dim),
+      the scan is spread past a one-file input, and the PAIR dot now
+      casts each element to DOUBLE before multiplying — the exact product
+      fold the DuckDB oracle computes (a float32 pair product could
+      diverge ~1e-7 from the oracle and flip ``kept`` for a pair whose
+      cosine lands within that of ``eps``; centroid cosines and norms
+      were already double folds and are unchanged).
     """
-    from pyspark.sql import Window
+    from sparrow_ipc_spark.functions.util import ident, spread
 
+    spark = df.sparkSession
     c = np.asarray(centroids, dtype=np.float64)
-    dists = F.array(*[_sq_dist(F.col(vec_col), ck) for ck in c])
-    coss = F.array(*[
-        F.try_divide(_dot(F.col(vec_col), F.array(*[F.lit(float(t)) for t in ck])),
-                     _norm(vec_col) * F.lit(fold_norm(ck)))
-        for ck in c
-    ])
-    pos = F.array_position(dists, F.array_min(dists)).cast("int")
-    asg = df.select(
-        F.col(id_col), F.col(vec_col),
-        (pos - 1).alias("cluster"),
-        F.element_at(coss, pos).alias("c_cos"),
-    )
-    w = Window.partitionBy("cluster").orderBy(F.asc_nulls_last("c_cos"), F.asc(id_col))
-    rk = (
-        asg.withColumn("rnk", F.row_number().over(w))
-        .withColumn("nrm", _norm(vec_col))
-        .persist()
-    )
-    salts = F.explode(F.sequence(F.lit(0), F.lit(int(n_salts) - 1)))
-    # explicit repartition (not left to AQE): both join inputs are tiny, so
-    # the planner broadcasts b and would otherwise run the exploded pair
-    # work on the a-side's few non-empty window partitions — the join
-    # OUTPUT is the O(|cluster|²) surface, invisible to input-size-based
-    # planning.  An explicit N is exempt from AQE coalescing.
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = rk.select("cluster", F.col("rnk").alias("rnk_a"),
-                  F.col(vec_col).alias("va"), F.col("nrm").alias("na"),
-                  salts.alias("salt")).repartition(n_part, "cluster", "salt")
-    b = rk.select("cluster", F.col("rnk").alias("rnk_b"),
-                  F.col(id_col).alias("drop_id"), F.col(vec_col).alias("vb"),
-                  F.col("nrm").alias("nb"),
-                  F.pmod(F.col("rnk"), F.lit(int(n_salts))).alias("salt"))
-    pc = F.try_divide(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
-    dropped = (
-        a.join(b, ["cluster", "salt"])
-        .where(F.col("rnk_a") < F.col("rnk_b"))
-        .where(pc >= F.lit(float(eps)))
-        .select("drop_id")
-        .distinct()
-    )
-    return (
-        rk.join(dropped, rk[id_col] == dropped["drop_id"], "left")
-        .select(F.col(id_col), F.col("cluster"),
-                F.round("c_cos", 6).alias("centroid_cos"),
-                F.col("drop_id").isNull().alias("kept"))
-    )
+    v, i = ident(vec_col), ident(id_col)
+    dim = int(c.shape[1]) if c.size else 0
+    # k-wide fold banks stay HOF text (fold-bank note above).  The
+    # centroid cosine is only ever read for the WINNING cluster, so it is
+    # a lazy CASE over _pos — one dot fold per row instead of k (each
+    # branch is the identical expression the old k-wide array held at
+    # that position, so the value is unchanged)
+    dl = "array(" + ", ".join(_sqd_hof_sql("_vec", ck) for ck in c) + ")"
+    ccos = "CASE _pos " + " ".join(
+        f"WHEN {j + 1} THEN try_divide({_dot_hof_sql('_vec', ck)},"
+        f" _vnrm * {_dlit(fold_norm(ck))})"
+        for j, ck in enumerate(c)) + " END"
+    spread(df).createOrReplaceTempView("_sipc_sem_in")
+    rk = spark.sql(f"""
+      WITH v0 AS (
+        SELECT {i} AS _id, {v} AS _vec, {_norm_hof_sql(v)} AS _vnrm
+        FROM _sipc_sem_in
+      ), feat AS (
+        SELECT _id, _vec, _vnrm, {dl} AS _dl
+        FROM v0
+      ), asg AS (
+        SELECT _id, _vec, CAST(array_position(_dl, array_min(_dl)) AS INT) AS _pos,
+               _vnrm
+        FROM feat
+      ), lab AS (
+        SELECT _id, _vec, _pos - 1 AS cluster, {ccos} AS c_cos, _vnrm AS nrm
+        FROM asg
+      )
+      SELECT _id, _vec, cluster, c_cos, nrm,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY c_cos ASC NULLS LAST, _id ASC) AS rnk
+      FROM lab""").persist()
+    rk.createOrReplaceTempView("_sipc_sem_rk")
+    # explicit REPARTITION hint on the exploded a-side (not left to AQE):
+    # both join inputs are tiny, so the planner would broadcast b and run
+    # the exploded pair work on the a-side's few non-empty window
+    # partitions — the join OUTPUT is the O(|cluster|²) surface,
+    # invisible to input-size-based planning.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # hash-key coverage (guide §2.5): with few clusters, k × n_salts keys
+    # must comfortably exceed the partition count or hash collisions idle
+    # most of the machine; at a real 50k-cluster scale the adjustment is
+    # a no-op and the a-side replication stays at the caller's n_salts
+    n_salts = max(int(n_salts), -(-4 * n_part // max(1, len(c))))
+    # join-output fold as HOF text (see fold-bank note): elements are
+    # cast to DOUBLE once per ROW (transform) instead of twice per pair
+    # element, and the product fold is then the exact CAST-to-DOUBLE
+    # product fold the DuckDB oracle computes (ADVICE r5: a float32 pair
+    # product could flip `kept` for a pair within ~1e-7 of eps)
+    pc = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D, (acc, t) -> acc + t)"
+    return spark.sql(f"""
+      WITH a AS (
+        SELECT /*+ REPARTITION({n_part}, cluster, salt) */
+               cluster, rnk AS rnk_a,
+               transform(_vec, x -> CAST(x AS DOUBLE)) AS va, nrm AS na, salt
+        FROM _sipc_sem_rk
+        LATERAL VIEW explode(sequence(0, {int(n_salts) - 1})) AS salt
+      ), b AS (
+        SELECT cluster, rnk AS rnk_b, _id AS drop_id,
+               transform(_vec, x -> CAST(x AS DOUBLE)) AS vb, nrm AS nb,
+               pmod(rnk, {int(n_salts)}) AS salt
+        FROM _sipc_sem_rk
+      ), dropped AS (
+        SELECT DISTINCT drop_id
+        FROM a JOIN b ON a.cluster = b.cluster AND a.salt = b.salt
+        WHERE rnk_a < rnk_b AND try_divide({pc}, na * nb) >= {_dlit(eps)}
+      )
+      SELECT r._id AS {i}, r.cluster, round(r.c_cos, 6) AS centroid_cos,
+             (d.drop_id IS NULL) AS kept
+      FROM _sipc_sem_rk r LEFT JOIN dropped d ON r._id = d.drop_id""")

@@ -6,6 +6,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+# the \s+ token splitter as it must appear inside a generated SQL string
+# literal (SQL literals consume one level of backslash escaping)
+_WS_SQL = r"\\s+"
+
 
 def token_count(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count per document (0 for empty, null for null)."""
@@ -79,32 +83,49 @@ def repetition_metrics(df: DataFrame, n: int = 2, col: str = "text",
     ``n``-gram count, distinct count, the most frequent gram's count, and
     the duplicate-gram fraction.
 
-    100 TB shape: one explode + two key-grouped aggregations, both with
-    map-side partial combine; grams never leave their doc's partition
-    grouping, so the shuffle carries (doc_id, gram) cardinality, not the
-    corpus."""
-    t = F.split(F.trim(F.col(col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - n),
-        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
-    )
+    100 TB shape: ZERO shuffles.  Every statistic is a function of one
+    document's own grams, so it is computed row-locally over the gram
+    array (sort + run scan) instead of explode → groupBy(doc, gram) →
+    groupBy(doc) — the former plan shuffled (doc_id, gram) cardinality
+    twice for values that never needed to leave their row.  Plan is
+    generated SQL over a spread scan (round-6 measurements: the Column
+    build alone was seconds of py4j; a one-file input pinned the map
+    stage to one core)."""
+    from sparrow_ipc_spark.functions.util import ident, spread
+
+    i, c = ident(id_col), ident(col)
     # docs with fewer than n tokens have ZERO n-grams (no truncated
     # partial gram) and are absent from the output — a repetition
     # fraction over no grams is undefined.  The trim-length guard keeps
     # n=1 correct too: split('') == [''] would otherwise count one empty
-    # "gram" for an empty document
-    g = (
-        df.where(F.col(col).isNotNull()
-                 & (F.length(F.trim(F.col(col))) > 0) & (F.size(t) >= n))
-        .select(F.col(id_col), F.explode(grams).alias("gram"))
-    )
-    per = g.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
-    return per.groupBy(id_col).agg(
-        F.sum("c").cast("long").alias("n_grams"),
-        F.count("*").cast("long").alias("n_distinct"),
-        F.max("c").cast("long").alias("top_gram_n"),
-        (F.lit(1.0) - F.count("*") / F.sum("c")).alias("dup_gram_frac"),
-    )
+    # "gram" for an empty document.  The longest run of equal values in
+    # the sorted gram array == the most frequent gram's count (grams are
+    # never null: concat_ws of non-null tokens).
+    spread(df).createOrReplaceTempView("_sipc_rep_in")
+    return df.sparkSession.sql(f"""
+      WITH b AS (
+        SELECT {i}, array_sort(transform(sequence(0, size(_t) - {n}),
+                                         x -> concat_ws(' ', slice(_t, x + 1, {n})))) AS _srt
+        FROM (SELECT {i}, split(trim({c}), '{_WS_SQL}') AS _t FROM _sipc_rep_in
+              WHERE {c} IS NOT NULL AND length(trim({c})) > 0)
+        WHERE size(_t) >= {n}
+      ), s AS (
+        SELECT {i}, CAST(size(_srt) AS BIGINT) AS n_grams,
+               CAST(size(array_distinct(_srt)) AS BIGINT) AS n_distinct,
+               aggregate(_srt,
+                 struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
+                        CAST(0 AS BIGINT) AS best),
+                 (acc, x) -> struct(x AS prev,
+                   CASE WHEN x <=> acc.prev THEN acc.run + 1
+                        ELSE CAST(1 AS BIGINT) END AS run,
+                   greatest(acc.best,
+                            CASE WHEN x <=> acc.prev THEN acc.run + 1
+                                 ELSE CAST(1 AS BIGINT) END) AS best),
+                 acc -> acc.best) AS top_gram_n
+        FROM b)
+      SELECT {i}, n_grams, n_distinct, top_gram_n,
+             1.0 - n_distinct / n_grams AS dup_gram_frac
+      FROM s""")
 
 
 def vocab_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -138,11 +159,15 @@ def extract_urls(df: DataFrame, col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """One row per URL occurrence: ``(id_col, url, domain)``.  Domain is
     the lowercased authority (host) component.  Pure narrow explode —
-    shuffle-free, whole-stage codegen."""
+    whole-stage codegen; the input scan is spread so the per-row regex
+    work parallelizes past a one-file input (no-op on a well-partitioned
+    table)."""
+    from sparrow_ipc_spark.functions.util import spread
+
     urls = F.explode(
         F.regexp_extract_all(F.col(col), F.lit(URL_PATTERN), F.lit(0)))
     return (
-        df.where(F.col(col).isNotNull())
+        spread(df).where(F.col(col).isNotNull())
         .select(F.col(id_col), urls.alias("url"))
         .withColumn("domain",
                     F.lower(F.regexp_extract(F.col("url"),

@@ -98,8 +98,10 @@ def test_ivf_assign_no_shuffle(spark):
 
 
 def test_new_text_ops_plan_shape(spark):
-    """repetition_metrics / vocab_stats: bounded exchanges with map-side
-    partial aggregation, no Python eval, no cartesian product."""
+    """repetition_metrics: row-local (its only exchange is the adaptive
+    scan spread, no aggregation at all); vocab_stats: bounded exchanges
+    with map-side partial aggregation.  Neither may grow Python eval or
+    a cartesian product."""
     from sparrow_ipc_spark.functions.text import repetition_metrics, vocab_stats
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -108,10 +110,14 @@ def test_new_text_ops_plan_shape(spark):
         plan = audit.simple_plan(df)
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
-        # partial_ aggregates before each exchange (map-side combine)
-        assert "partial_" in audit.formatted_plan(df).lower() or \
-               "HashAggregate" in plan, name
         assert audit.count_exchanges(df) <= 2, (name, audit.shuffle_exchanges(df))
+    # vocab_stats still aggregates with map-side combine
+    vs = vocab_stats(docs)
+    assert "partial_" in audit.formatted_plan(vs).lower() or \
+           "HashAggregate" in audit.simple_plan(vs)
+    # repetition_metrics computes every statistic inside the row: its plan
+    # has NO aggregation operator
+    assert "HashAggregate" not in audit.simple_plan(repetition_metrics(docs))
 
 
 def test_simhash_near_pairs_md5_plan_shape(spark):
@@ -125,25 +131,37 @@ def test_simhash_near_pairs_md5_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-# The 8 most expensive bench queries (BENCH_r04), pinned at their audited
-# exchange counts.  A driver-window wall that doubles while these pins hold
-# is co-tenant noise by construction — the plan cannot have grown a new
+# The most expensive bench queries, pinned at their audited exchange
+# counts.  A driver-window wall that doubles while these pins hold is
+# co-tenant noise by construction — the plan cannot have grown a new
 # shuffle without failing here first (VERDICT r4 "Next round" #3).
+#
+# Round-6 re-pin: several counts moved DELIBERATELY.  util.spread adds
+# one tiny round-robin exchange in front of per-row-heavy operators so a
+# one-file (one-row-group, unsplittable) input does not pin the whole
+# map stage to a single core; that exchange self-disables on inputs that
+# already have enough partitions, so at scale these counts drop back by
+# one.  Counter-moves: ngram_jaccard_lsh 12 → 7 (array-intersect verify
+# replaced the exploded gram join), repetition_metrics lost its two
+# grouped aggregations (row-local gram stats), simhash lost its
+# groupBy-token shuffle (the +1 seen here is only the spread).
 QUERY_EXCHANGE_PINS = {
-    "repetition_metrics": 2,
-    "minhash_lsh_pairs": 3,
+    "repetition_metrics": 1,   # spread only (was 2 grouped aggs)
+    "minhash_lsh_pairs": 5,    # spread + sig agg + self-join + distinct
     "datasource_roundtrip": 1,
-    "simhash": 1,
-    "simhash_near_pairs": 3,
+    "simhash": 2,              # spread + vote agg
+    "simhash_near_pairs": 4,
     "decontaminate": 3,
-    "ngram_jaccard_lsh": 12,
+    "ngram_jaccard_lsh": 7,    # was 12: exploded gram join removed
     "codec_roundtrip": 4,
-    # round-5 additions: dup_groups = pair graph + one broadcast attach;
-    # semantic_dedup = window + salted pair join + drop attach;
-    # redact_pii = pure narrow projection (any exchange is a regression)
+    # dup_groups = pair graph + one broadcast attach; semantic_dedup =
+    # spread + window + salted pair join + drop attach; redact_pii =
+    # narrow projection + its spread
     "dup_groups": 1,
-    "semantic_dedup": 6,
-    "redact_pii": 0,
+    "semantic_dedup": 8,
+    "redact_pii": 1,
+    "duplicated_spans": 2,
+    "minhash_signature": 1,    # spread only (row-local array_min sketch)
 }
 
 
