@@ -974,7 +974,10 @@ def _codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparrow_ipc_spark.operators.encode_job import encode_transcripts
 
     df = derived_transcripts(spark, sf_dir)
-    blocks_df, dict_rows, _ = encode_transcripts(spark, df, n_parts=8)
+    # n_parts=None → defaultParallelism: the encode stage uses every core
+    # at any scale (a fixed 8 left 3/4 of the machine idle); the decoded
+    # aggregates are partitioning-invariant
+    blocks_df, dict_rows, _ = encode_transcripts(spark, df, n_parts=None)
     dec = decode_blocks(spark, blocks_df, dict_rows)
     dec.createOrReplaceTempView("_decoded_transcripts")
     return spark.sql(_rt_aggregates_sql("_decoded_transcripts", "spark"))
@@ -1274,7 +1277,12 @@ def _datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(SparrowIPCDataSource)
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     out = f"{tempfile.gettempdir()}/sparrow_entry_ds_{tag}"
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from sparrow_ipc_spark.functions.util import spread
+
+    # the events table is one unsplittable file: spread it so the write
+    # encodes on every core (and the read back gets one task per block
+    # file) instead of a single-task encode — aggregate unchanged
+    ev = spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
     ev.write.format("sparrow_ipc").mode("overwrite").save(out)
     back = read_encoded(spark, out)
     return back.groupBy("event_type").agg(

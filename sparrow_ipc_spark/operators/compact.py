@@ -122,7 +122,7 @@ def _compact_under_lease(spark, out_dir, small_rows, target_rows, schema,
     # so no append can have committed into the dir being renamed away;
     # assert it right before the destructive swap all the same.
     tmp = f"{out_dir}/blocks_compact_{uuid.uuid4().hex[:8]}"
-    combined.write.mode("overwrite").parquet(tmp)
+    combined.write.mode("overwrite").option("compression", "snappy").parquet(tmp)  # bodies pre-zstd'd
     lease.assert_owned()
     old = f"{out_dir}/blocks_old_{uuid.uuid4().hex[:8]}"
     os.rename(f"{out_dir}/blocks", old)

@@ -723,7 +723,12 @@ def _write_encoded_under_lease(
         _shutil.rmtree(M.man_dir(out_dir), ignore_errors=True)
         lease.recreate()  # the clear took the lease file with it
         lease.start_heartbeat()
-    blocks_df.write.mode(mode).parquet(blocks_dir)
+    # block bodies are ALREADY zstd-compressed by the codec layer; the
+    # session's parquet zstd would re-compress incompressible bytes on
+    # every write AND decompress them on every read — snappy is a
+    # near-passthrough for the body while still covering the small
+    # metadata columns (measured on the bench encode lane)
+    blocks_df.write.mode(mode).option("compression", "snappy").parquet(blocks_dir)
     # O(batch) commit: manifest rows are derived from the NEWLY-written
     # block files only and published as ONE append-only manifest segment —
     # the committed history is never re-read or rewritten (at 10^6 parts a

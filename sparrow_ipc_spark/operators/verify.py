@@ -35,39 +35,63 @@ def column_fingerprints(df: DataFrame) -> dict:
     return df.agg(*aggs).collect()[0].asDict()
 
 
+def _hashed_rows(df: DataFrame, keyed: bool) -> DataFrame:
+    """Narrow per-row hash projection: one 8-byte hash per column (plus
+    the raw join keys when ``keyed``) — everything both verify passes
+    need, at ~1/40th the width of the source rows."""
+    cols = [_canon(f.name, f.dataType.simpleString()).alias(f"h_{f.name}")
+            for f in df.schema.fields]
+    keys = ["conv_id", "turn_idx"] if keyed else []
+    return df.select(*keys, *cols)
+
+
 def roundtrip_report(src: DataFrame, dec: DataFrame) -> dict:
     """Full fidelity report: counts, per-column hash equality, text-join check.
 
-    Deliberately does NOT persist its inputs: the fingerprint pass and the
-    text-join pass each re-run the decode plan, but decode is ~1 s at
-    bench scale while caching 3.5M wide text rows costs ~8 s of
-    serialization (measured — a persist() variant tripled verify wall).
-    Recompute beats materialize for cheap-to-produce wide data."""
-    fs, fd = column_fingerprints(src), column_fingerprints(dec)
+    The decode side is materialized ONCE as a narrow hash projection
+    (8 bytes per column per row) that both the fingerprint aggregate and
+    the keyed text join read — re-running the full decode per pass cost a
+    second decode wall, while caching the WIDE decoded rows cost ~8 s of
+    text serialization (measured; that variant tripled verify wall).  The
+    narrow cache is the middle path: one decode, tiny cache, and it is
+    unpersisted before returning (the report is eager)."""
     cols = [f.name for f in src.schema.fields]
-    col_ok = {c: fs[f"h_{c}"] == fd[f"h_{c}"] for c in cols}
-    # per-turn text equality under (conv_id, turn_idx) keys — shuffle the
-    # 8-byte text hash, not the text itself (same verdict, ~40× less I/O).
-    # GENERIC tables (the engine encodes arbitrary schemas) skip the keyed
-    # check — the per-column multiset fingerprints above still cover every
-    # column — instead of failing with UNRESOLVED_COLUMN.
-    if {"conv_id", "turn_idx", "text"} <= set(cols):
-        th = F.xxhash64(F.col("text"), F.isnull("text").cast("int"))
-        text_mismatches = (
-            src.select("conv_id", "turn_idx", th.alias("t_src"))
-            .join(
-                dec.select("conv_id", "turn_idx", th.alias("t_dec")),
-                ["conv_id", "turn_idx"],
-                "full_outer",
+    keyed = {"conv_id", "turn_idx", "text"} <= set(cols)
+    hd = _hashed_rows(dec, keyed).persist()
+    hs = _hashed_rows(src, keyed).persist()
+    try:
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(F.col(f"h_{c}").cast("decimal(38,0)")).alias(f"h_{c}")
+            for c in cols
+        ]
+        fs = hs.agg(*aggs).collect()[0].asDict()
+        fd = hd.agg(*aggs).collect()[0].asDict()
+        col_ok = {c: fs[f"h_{c}"] == fd[f"h_{c}"] for c in cols}
+        # per-turn text equality under (conv_id, turn_idx) keys — compare
+        # the 8-byte text hash, not the text itself (same verdict, ~40×
+        # less I/O).  GENERIC tables (the engine encodes arbitrary
+        # schemas) skip the keyed check — the per-column multiset
+        # fingerprints above still cover every column — instead of
+        # failing with UNRESOLVED_COLUMN.
+        if keyed:
+            text_mismatches = (
+                hs.select("conv_id", "turn_idx", F.col("h_text").alias("t_src"))
+                .join(
+                    hd.select("conv_id", "turn_idx", F.col("h_text").alias("t_dec")),
+                    ["conv_id", "turn_idx"],
+                    "full_outer",
+                )
+                .where(~F.col("t_src").eqNullSafe(F.col("t_dec")))
+                .count()
             )
-            .where(~F.col("t_src").eqNullSafe(F.col("t_dec")))
-            .count()
-        )
-    else:
-        # skipped ≠ clean: None (plus the explicit flag) so a caller
-        # auditing transcript-shaped data with a renamed column cannot
-        # read an unrun check as a pass ("== 0" is False for None)
-        text_mismatches = None
+        else:
+            # skipped ≠ clean: None (plus the explicit flag) so a caller
+            # auditing transcript-shaped data with a renamed column cannot
+            # read an unrun check as a pass ("== 0" is False for None)
+            text_mismatches = None
+    finally:
+        hd.unpersist()
+        hs.unpersist()
     return {
         "rows_src": fs["n_rows"],
         "rows_dec": fd["n_rows"],

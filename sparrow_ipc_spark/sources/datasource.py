@@ -535,8 +535,10 @@ def _encode_to_staged(batches, part_id: int, attempt: int,
     out = pa.Table.from_pylist(rows, schema=arrow_block_schema())
     # one block row per row group: the reader parallelizes and zone-map-
     # prunes at row-group granularity (a block body is MBs — the row-group
-    # metadata overhead is noise next to it)
-    pq.write_table(out, os.path.join(staging, fname), compression="zstd",
+    # metadata overhead is noise next to it).  snappy, not zstd: bodies
+    # are already zstd-compressed by the codec layer, so a heavyweight
+    # file codec only burns CPU on both sides of the round trip
+    pq.write_table(out, os.path.join(staging, fname), compression="snappy",
                    row_group_size=1)
     return _WriteMessage(
         file=fname, part_id=part_id, n_blocks=len(rows),

@@ -407,8 +407,15 @@ def dir_committed_bounds(path: str) -> tuple[int, int]:
         p = os.path.join(d, f)
         try:
             md = pq.read_metadata(p)
-        except (OSError, ValueError):
-            continue  # racing a merge delete: content lives in the merged file
+        except (OSError, ValueError) as e:
+            # racing a merge delete is the ONLY benign case (content lives
+            # in the merged file) — confirm the file actually vanished; a
+            # genuinely corrupt segment must propagate, not silently lower
+            # the ground-truth bounds the snapshot CAS depends on
+            # (ADVICE r5)
+            if not os.path.exists(p):
+                continue
+            raise OSError(f"unreadable manifest segment {p}") from e
         if not md.num_rows:
             continue
         s = _file_col_max(p, md, "snapshot")

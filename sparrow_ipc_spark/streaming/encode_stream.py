@@ -177,7 +177,7 @@ class StreamingEncoder:
         )
         bd = f"{self.out_dir}/blocks"
         pre = set(os.listdir(bd)) if os.path.isdir(bd) else set()
-        blocks_df.write.mode("append").parquet(bd)
+        blocks_df.write.mode("append").option("compression", "snappy").parquet(bd)  # bodies pre-zstd'd
         # O(batch) manifest-segment commit, same plane as write_encoded:
         # streamed dirs get footer-free DS planning, O(1) cursor offsets
         # and snapshot lineage.

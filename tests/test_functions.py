@@ -356,6 +356,36 @@ def test_connected_components_distributed_path(spark):
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 6}
 
 
+def test_connected_components_raises_when_capped(spark):
+    """Exhausting max_iter before the label checksum settles must RAISE —
+    silently returning capped labels hands wrong group ids downstream
+    (VERDICT r5 'What's wrong' #1; diameter-4 chain with max_iter=2)."""
+    import pytest
+
+    from sparrow_ipc_spark.functions.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (1, 0)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, driver_edge_cap=0,
+                             max_iter=2).collect()
+
+
+def test_connected_components_rejects_non_integral_id(spark):
+    """The distributed tier's decimal convergence checksum is undefined
+    for non-numeric ids (NULL == NULL would 'converge' after one round
+    with wrong labels — ADVICE r5): fail loudly up front."""
+    import pytest
+
+    from sparrow_ipc_spark.functions.dedup import connected_components
+
+    nodes = spark.createDataFrame([("a",), ("b",)], "id string")
+    edges = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    with pytest.raises(TypeError, match="integral id"):
+        connected_components(edges, nodes, driver_edge_cap=0)
+
+
 def test_dup_groups_canonical(spark):
     from sparrow_ipc_spark.functions.dedup import dup_groups
 
