@@ -438,20 +438,20 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
       is on EDGES (already deduplicated near-dup pairs), never on corpus
       rows, so the gate is a bounded-metadata collect.
     """
-    # symmetrize in ONE pass over the edge list: the union-of-two-selects
-    # form re-executed the (potentially expensive) pair-generation lineage
-    # once per direction; the explode reads it once
-    sym = (
-        edges.select(F.explode(F.array(
-            F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
-            F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
-        )).alias("_e"))
-        .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
+    # contraction-tier gate in ONE job: order-normalized distinct edges
+    # with a LIMIT just past the cap, collected directly — a full result
+    # means "over cap, take the iterative tier".  The old shape
+    # (symmetrize → checkpoint → count → filter → collect) ran four jobs
+    # and re-executed the pair-generation lineage once per direction
+    # before the gate even decided.
+    und = (
+        edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                     F.greatest(F.col(src), F.col(dst)).alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .limit(driver_edge_cap + 1)
     )
-    if sym.count() <= 2 * driver_edge_cap:
-        pair_rows = sym.where(F.col("u") < F.col("v")).collect()
+    pair_rows = und.collect()
+    if len(pair_rows) <= driver_edge_cap:
         parent: dict = {}
 
         def _find(x):
@@ -495,6 +495,18 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
             f"connected_components' distributed tier needs an integral id "
             f"column (got {id_col}: {id_sql}); the numeric-checksum "
             f"convergence test is undefined for other types")
+    # symmetrize in ONE pass over the edge list (explode, not a union of
+    # two selects that would re-execute the pair-generation lineage per
+    # direction); checkpointed because every propagation round joins it
+    sym = (
+        edges.select(F.explode(F.array(
+            F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+            F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+        )).alias("_e"))
+        .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     comp = (
         sym.select("u").distinct()
         .select(F.col("u"), F.col("u").alias("comp"))
