@@ -974,10 +974,14 @@ def _codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparrow_ipc_spark.operators.encode_job import encode_transcripts
 
     df = derived_transcripts(spark, sf_dir)
-    # n_parts=None → defaultParallelism: the encode stage uses every core
-    # at any scale (a fixed 8 left 3/4 of the machine idle); the decoded
-    # aggregates are partitioning-invariant
-    blocks_df, dict_rows, _ = encode_transcripts(spark, df, n_parts=None)
+    # clustered=True: the derive window already leaves each conversation
+    # contiguous and turn-sorted inside its shuffle partition (WindowExec
+    # sorts by (user_id, ts, event_id); conv_id is a function of user_id
+    # and turn_idx is the row_number in that exact order), so the encode
+    # maps straight over the window output instead of paying a second
+    # full-table repartition+sort — measured 3.5→2.3 s at sf0.1, decoded
+    # aggregates identical (they are partitioning-invariant)
+    blocks_df, dict_rows, _ = encode_transcripts(spark, df, clustered=True)
     dec = decode_blocks(spark, blocks_df, dict_rows)
     dec.createOrReplaceTempView("_decoded_transcripts")
     return spark.sql(_rt_aggregates_sql("_decoded_transcripts", "spark"))

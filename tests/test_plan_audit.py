@@ -153,7 +153,9 @@ QUERY_EXCHANGE_PINS = {
     "simhash_near_pairs": 4,
     "decontaminate": 3,
     "ngram_jaccard_lsh": 7,    # was 12: exploded gram join removed
-    "codec_roundtrip": 4,
+    "codec_roundtrip": 3,   # was 4: encode rides the derive window's own
+                            # partitioning (clustered=True), dropping the
+                            # second full-table repartition+sort
     # dup_groups = pair graph + one broadcast attach; semantic_dedup =
     # spread + one cluster shuffle shared by the rank window and the
     # applyInArrow pair kernel (the salted pair join and its drop-attach
