@@ -81,10 +81,19 @@ def roundtrip_report(src: DataFrame, dec: DataFrame) -> dict:
     round-6 narrow hash cache halved it; this single-pass shape removes
     the cache build and the always-on join as well — measured 3.85 s →
     ~1.6 s at sf0.1.)"""
+    from concurrent.futures import ThreadPoolExecutor
+
     cols = [f.name for f in src.schema.fields]
     keyed = {"conv_id", "turn_idx", "text"} <= set(cols)
-    fs = _fingerprint_pass(src, keyed)
-    fd = _fingerprint_pass(dec, keyed)
+    # the two passes are independent jobs with disjoint bottlenecks (the
+    # source side is a JVM parquet scan, the decode side is Python-worker
+    # bound), so overlapping them recovers most of the shorter job's wall
+    # (measured 1.83 → 1.55 s at sf0.1); Spark job submission is
+    # thread-safe and the scheduler fills idle slots across both
+    with ThreadPoolExecutor(2) as pool:
+        f_src = pool.submit(_fingerprint_pass, src, keyed)
+        f_dec = pool.submit(_fingerprint_pass, dec, keyed)
+        fs, fd = f_src.result(), f_dec.result()
     col_ok = {c: fs[f"h_{c}"] == fd[f"h_{c}"] for c in cols}
     # per-turn text equality under (conv_id, turn_idx) keys — compare
     # 8-byte hashes, not the text itself (same verdict, ~40× less I/O).
